@@ -13,8 +13,9 @@ Usage mirrors the reference: ``import pypose_tpu as pp``.
 
 __version__ = '0.1.0'
 
+from .nn import Parameter, Module
 from .lietensor import (
-    LieTensor, Parameter, retain_ltype, seed,
+    LieTensor, retain_ltype, seed,
     SO3_type, so3_type, SE3_type, se3_type,
     Sim3_type, sim3_type, RxSO3_type, rxso3_type,
     liegroup, liealgebra,

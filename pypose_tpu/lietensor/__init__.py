@@ -1,4 +1,4 @@
-from .lietensor import LieTensor, Parameter, retain_ltype
+from .lietensor import LieTensor, retain_ltype
 from .lietensor import SO3_type, so3_type, SE3_type, se3_type
 from .lietensor import Sim3_type, sim3_type, RxSO3_type, rxso3_type
 from .lietensor import liegroup, liealgebra, seed

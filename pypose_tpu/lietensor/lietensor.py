@@ -772,20 +772,6 @@ class LieTensor:
         return cumops(self, dim, ops)
 
 
-def Parameter(data, **kwargs):
-    """Mark a LieTensor as an optimizable parameter.
-
-    JAX is functional: parameters are just pytree leaves passed to
-    optimizers, so this returns the LieTensor itself (the reference's
-    ``Parameter`` subclass + ``sjac`` tracking machinery,
-    lietensor.py:1236-1337, is unnecessary — sparse-Jacobian structure is
-    declared statically; see pypose_tpu.optim).
-    """
-    if isinstance(data, LieTensor):
-        return data.clone()
-    return jnp.asarray(data, **kwargs)
-
-
 def retain_ltype():
     """No-op context manager for API parity.
 

@@ -1,0 +1,86 @@
+r"""Optimization schedulers.
+
+Ref: pypose/optim/scheduler.py.  The outer loop stays host-side (each
+``optimizer.step`` is one fused XLA program); ``StopOnPlateau.optimize``
+mirrors scheduler.py:162-203.
+"""
+
+
+class _Scheduler:
+    """Base scheduler.  Ref: scheduler.py:5-62."""
+
+    class Continual:
+        def __init__(self, sched):
+            self.sched = sched
+
+        def __call__(self):
+            return self.sched.iscontinual()
+
+        def __bool__(self):
+            return self.sched.iscontinual()
+
+    def __init__(self, optimizer, max_steps, verbose=False):
+        self.optimizer, self.verbose = optimizer, verbose
+        self.max_steps, self.steps = max_steps, 0
+        self.continual = self.Continual(self)
+        self._continual = True
+
+    def iscontinual(self):
+        return self._continual
+
+    def state_dict(self):
+        return {k: v for k, v in self.__dict__.items()
+                if k not in ('optimizer', 'continual')}
+
+    def load_state_dict(self, state_dict):
+        self.__dict__.update(state_dict)
+        self.continual = self.Continual(self)
+
+
+class StopOnPlateau(_Scheduler):
+    """Stop when loss plateaus / max steps / optimizer rejection.
+
+    Ref: scheduler.py:64-203.
+    """
+
+    def __init__(self, optimizer, steps, patience=5, decreasing=1e-3,
+                 verbose=False):
+        super().__init__(optimizer, steps, verbose)
+        self.decreasing = decreasing
+        self.patience, self.patience_count = patience, 0
+
+    def step(self, loss=None):
+        assert self.optimizer.loss is not None, \
+            'scheduler.step() should be called after optimizer.step()'
+        self.steps = self.steps + 1
+        if self.verbose:
+            print('StopOnPlateau on step {} Loss {:.6e} --> Loss {:.6e} '
+                  '(reduction/loss: {:.4e}).'.format(
+                      self.steps, self.optimizer.last, self.optimizer.loss,
+                      (self.optimizer.last - self.optimizer.loss)
+                      / (self.optimizer.last + 1e-31)))
+        if self.steps >= self.max_steps:
+            self._continual = False
+            if self.verbose:
+                print('StopOnPlateau: Maximum steps reached, Quitting..')
+        if self.optimizer.last - self.optimizer.loss < self.decreasing:
+            self.patience_count = self.patience_count + 1
+        else:
+            self.patience_count = 0
+        if self.patience_count >= self.patience:
+            self._continual = False
+            if self.verbose:
+                print('StopOnPlateau: Maximum patience steps reached, '
+                      'Quitting..')
+        if getattr(self.optimizer, 'reject_count', 0) > 0:
+            self._continual = False
+            if self.verbose:
+                print('StopOnPlateau: Maximum rejected steps reached, '
+                      'Quitting..')
+
+    def optimize(self, input, target=None, weight=None):
+        """Full optimization loop.  Ref: scheduler.py:162-203."""
+        while self.continual():
+            loss = self.optimizer.step(input, target, weight)
+            self.step(loss)
+        return loss

@@ -1,0 +1,88 @@
+r"""LM damping strategies as pure state-transition functions.
+
+Ref: pypose/optim/strategy.py.  The reference mutates the optimizer's
+param-group dict; here each strategy owns an ``init()`` returning a small
+jnp-scalar state pytree and a pure ``update(state, ...)`` so the whole LM
+reject loop stays inside ``lax.while_loop`` on TPU.
+"""
+
+import jax.numpy as jnp
+
+
+def _quality(last, loss, J, D, R):
+    """Gain ratio (actual reduction / predicted reduction).
+
+    Ref: strategy.py:140-141, 260-261.
+    """
+    JD = J @ D
+    pred = -(JD.T @ (2.0 * R + JD)).squeeze()
+    return (last - loss) / jnp.where(pred == 0, 1e-31, pred)
+
+
+class Constant:
+    """Constant damping.  Ref: strategy.py:5-47."""
+
+    def __init__(self, damping=1e-6):
+        assert damping > 0, ValueError(
+            'damping has to be positive: {}'.format(damping))
+        self.damping = damping
+
+    def init(self, dtype=jnp.float32):
+        return {'damping': jnp.asarray(self.damping, dtype)}
+
+    def update(self, state, last, loss, J, D, R):
+        return state
+
+
+class Adaptive:
+    """Gain-ratio adaptive damping.  Ref: strategy.py:49-151."""
+
+    def __init__(self, damping=1e-6, high=0.5, low=1e-3, up=2., down=0.5,
+                 min=1e-6, max=1e16):
+        assert damping > 0
+        assert high > 0 and low > 0
+        assert 0 < down < 1 and up > 1
+        self.damping, self.high, self.low = damping, high, low
+        self.up, self.down = up, down
+        self.min, self.max = min, max
+
+    def init(self, dtype=jnp.float32):
+        return {'damping': jnp.asarray(self.damping, dtype)}
+
+    def update(self, state, last, loss, J, D, R):
+        q = _quality(last, loss, J, D, R)
+        d = state['damping']
+        d = jnp.where(q > self.high, d * self.down,
+                      jnp.where(q > self.low, d, d * self.up))
+        return {'damping': jnp.clip(d, self.min, self.max)}
+
+
+class TrustRegion:
+    """Ceres-style trust region (radius = 1/damping) with shrinking
+    down-factor.  Ref: strategy.py:154-273."""
+
+    def __init__(self, radius=1e6, high=0.5, low=1e-3, up=2., down=0.5,
+                 factor=0.5, min=1e-6, max=1e16):
+        assert radius > 0
+        assert high > 0 and low > 0
+        assert 0 < down < 1 and up > 1 and 0 < factor < 1
+        self.radius, self.high, self.low = radius, high, low
+        self.up, self.down0, self.factor = up, down, factor
+        self.min, self.max = min, max
+
+    def init(self, dtype=jnp.float32):
+        return {'damping': jnp.asarray(1.0 / self.radius, dtype),
+                'down': jnp.asarray(self.down0, dtype)}
+
+    def update(self, state, last, loss, J, D, R):
+        q = _quality(last, loss, J, D, R)
+        radius = 1.0 / state['damping']
+        down = state['down']
+        radius_new = jnp.where(q > self.high, self.up * radius,
+                               jnp.where(q > self.low, radius,
+                                         radius * down))
+        down_new = jnp.where(q > self.low, jnp.asarray(self.down0, down.dtype),
+                             down * self.factor)
+        down_new = jnp.clip(down_new, self.min, self.max)
+        radius_new = jnp.clip(radius_new, self.min, self.max)
+        return {'damping': 1.0 / radius_new, 'down': down_new}

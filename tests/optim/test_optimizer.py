@@ -1,0 +1,149 @@
+"""Convergence-as-oracle tests for GN/LM, mirroring the reference's style
+(tests/optim/test_optimizer.py): random PoseInv problems must converge to
+~zero loss in a few iterations.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pypose_tpu as pp
+from pypose_tpu.optim import GN, LM
+from pypose_tpu.optim.scheduler import StopOnPlateau
+from pypose_tpu.optim.strategy import Constant, Adaptive, TrustRegion
+from pypose_tpu.optim.kernel import Huber, Cauchy
+from pypose_tpu.optim.corrector import FastTriggs, Triggs
+from pypose_tpu.optim.solver import PINV, LSTSQ, Cholesky, CG, PCG
+
+
+class PoseInv(pp.Module):
+    def __init__(self, *dim, key=None):
+        super().__init__()
+        self.pose = pp.Parameter(pp.randn_se3(*dim, sigma=0.5, key=key))
+
+    def forward(self, input):
+        return (self.pose.Exp() @ input).Log().tensor()
+
+
+def make_problem(shape=(2, 2), seed=0):
+    model = PoseInv(*shape, key=jax.random.PRNGKey(seed))
+    inputs = pp.randn_SE3(*shape, key=jax.random.PRNGKey(seed + 100))
+    return model, inputs
+
+
+def test_gn_converges():
+    model, inputs = make_problem()
+    opt = GN(model)
+    for _ in range(5):
+        loss = opt.step(inputs)
+    assert loss < 1e-8
+
+
+@pytest.mark.parametrize('strategy', [
+    Constant(damping=1e-6),
+    Adaptive(damping=1e-6),
+    TrustRegion(radius=1e4),
+])
+def test_lm_strategies_converge(strategy):
+    model, inputs = make_problem(seed=1)
+    opt = LM(model, strategy=strategy)
+    for _ in range(8):
+        loss = opt.step(inputs)
+    assert loss < 1e-8
+
+
+@pytest.mark.parametrize('solver', [PINV(), LSTSQ(), Cholesky(), CG(), PCG()])
+def test_lm_solvers_converge(solver):
+    model, inputs = make_problem(seed=2)
+    opt = LM(model, solver=solver)
+    for _ in range(8):
+        loss = opt.step(inputs)
+    assert loss < 1e-7
+
+
+@pytest.mark.parametrize('kernel', [Huber(delta=2.0), Cauchy(delta=2.0)])
+def test_lm_kernel_corrector(kernel):
+    model, inputs = make_problem(seed=3)
+    opt = LM(model, kernel=kernel)  # auto FastTriggs corrector
+    for _ in range(10):
+        loss = opt.step(inputs)
+    assert loss < 1e-6
+
+
+def test_lm_triggs_corrector():
+    model, inputs = make_problem(seed=4)
+    opt = LM(model, kernel=Huber(delta=2.0),
+             corrector=Triggs(Huber(delta=2.0)))
+    for _ in range(10):
+        loss = opt.step(inputs)
+    assert loss < 1e-6
+
+
+def test_lm_weighted():
+    model, inputs = make_problem(seed=5)
+    weight = jnp.broadcast_to(2.0 * jnp.eye(6), (2, 2, 6, 6))
+    opt = LM(model, weight=weight)
+    for _ in range(8):
+        loss = opt.step(inputs)
+    assert loss < 1e-7
+
+
+def test_scheduler_stop_on_plateau():
+    model, inputs = make_problem(seed=6)
+    opt = LM(model, strategy=TrustRegion(radius=1e4))
+    sched = StopOnPlateau(opt, steps=20, patience=3, decreasing=1e-9)
+    loss = sched.optimize(input=inputs)
+    assert loss < 1e-8
+    assert sched.steps < 20  # stopped early on plateau
+
+
+def test_lm_rejects_bad_step():
+    """LM must not increase the loss (step rejection)."""
+    model, inputs = make_problem(seed=7)
+    opt = LM(model, strategy=Constant(damping=1e2))
+    prev = float('inf')
+    for _ in range(5):
+        loss = opt.step(inputs)
+        assert loss <= prev + 1e-9
+        prev = loss
+
+
+def test_multiple_params():
+    class TwoPose(pp.Module):
+        def __init__(self, key):
+            super().__init__()
+            k1, k2 = jax.random.split(key)
+            self.p1 = pp.Parameter(pp.randn_se3(2, sigma=0.4, key=k1))
+            self.p2 = pp.Parameter(pp.randn_se3(2, sigma=0.4, key=k2))
+
+        def forward(self, input):
+            return ((self.p1.Exp() @ self.p2.Exp() @ input).Log().tensor(),
+                    self.p2.Exp().Log().tensor())
+
+    model = TwoPose(jax.random.PRNGKey(8))
+    inputs = pp.randn_SE3(2, key=jax.random.PRNGKey(9))
+    opt = LM(model)
+    for _ in range(10):
+        loss = opt.step(inputs)
+    assert loss < 1e-7
+
+
+def test_euclidean_and_lie_params():
+    class Mixed(pp.Module):
+        def __init__(self):
+            super().__init__()
+            self.pose = pp.Parameter(
+                pp.randn_so3(3, sigma=0.4, key=jax.random.PRNGKey(10)))
+            self.bias = pp.Parameter(jnp.ones(3))
+
+        def forward(self, input):
+            return (self.pose.Exp() @ input).Act(jnp.ones(3)) + self.bias
+
+    model = Mixed()
+    inputs = pp.randn_SO3(3, key=jax.random.PRNGKey(11))
+    target = inputs.Act(jnp.ones(3))
+    opt = LM(model)
+    for _ in range(10):
+        loss = opt.step(inputs, target=target)
+    assert loss < 1e-7
