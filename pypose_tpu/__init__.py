@@ -30,7 +30,18 @@ from .lietensor import (
     mat2SO3, mat2SE3, mat2Sim3, mat2RxSO3, from_matrix, euler2SO3,
 )
 from .basics import pm, cumops, cummul, cumprod, cumops_, cummul_, cumprod_
+from .function import (
+    cart2homo, homo2cart, point2pixel, pixel2point, reprojerr, knn, svdtf,
+    svdstf, nbr_filter, random_filter, voxel_filter, knn_filter,
+    bvv, bmv, bvmv, chspline, bspline, is_lietensor, is_SE3, hasnan,
+)
 
 from . import lietensor  # noqa: F401
 from . import basics     # noqa: F401
 from . import testing    # noqa: F401
+from . import function   # noqa: F401
+from . import optim      # noqa: F401
+from . import nn         # noqa: F401
+from . import module     # noqa: F401
+from . import utils      # noqa: F401
+from . import datasets   # noqa: F401

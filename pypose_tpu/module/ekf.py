@@ -1,0 +1,53 @@
+r"""Extended Kalman Filter.  Ref: pypose/module/ekf.py."""
+
+import jax.numpy as jnp
+
+from ..nn import Module
+from ..function.linalg import bmv
+
+
+class EKF(Module):
+    r"""Batched EKF: linearize via the model's NLS properties, then
+    predict / gain / update.  Ref: ekf.py:7-197 (forward :132-164).
+    """
+
+    def __init__(self, model, Q=None, R=None):
+        super().__init__()
+        self.set_uncertainty(Q=Q, R=R)
+        self.model = model
+
+    def forward(self, x, y, u, P, Q=None, R=None, t=None):
+        self.model.set_refpoint(state=x, input=u, t=t)
+        I = jnp.eye(P.shape[-1], dtype=P.dtype)
+        A = self.model.A
+        C = self.model.C
+        Q = Q if Q is not None else self.Q
+        R = R if R is not None else self.R
+        xm = self.model.state_transition(x, u, t=t)
+        P = A @ P @ jnp.swapaxes(A, -1, -2) + Q
+        K = P @ jnp.swapaxes(C, -1, -2) @ jnp.linalg.pinv(
+            C @ P @ jnp.swapaxes(C, -1, -2) + R)
+        e = y - self.model.observation(x, u, t=t)
+        xp = xm + bmv(K, e)
+        P = (I - K @ C) @ P
+        return xp, P
+
+    @property
+    def Q(self):
+        if not hasattr(self, '_Q'):
+            raise NotImplementedError(
+                'Call set_uncertainty() to define transition covariance Q.')
+        return self._Q
+
+    @property
+    def R(self):
+        if not hasattr(self, '_R'):
+            raise NotImplementedError(
+                'Call set_uncertainty() to define observation covariance R.')
+        return self._R
+
+    def set_uncertainty(self, Q=None, R=None):
+        if Q is not None:
+            self.register_buffer('_Q', Q)
+        if R is not None:
+            self.register_buffer('_R', R)

@@ -1,0 +1,48 @@
+r"""Iterative Closest Point.
+
+Ref: pypose/module/icp.py.  knn -> Kabsch (svdtf) -> compose, under a
+ReduceToBason stepper (host loop; each iteration is jittable).
+"""
+
+import jax.numpy as jnp
+
+from ..nn import Module
+from ..utils.stepper import ReduceToBason
+from ..function.geometry import knn, svdtf
+from ..function.checking import is_SE3
+
+
+class ICP(Module):
+    r"""Batched ICP returning the SE3 aligning source to target.
+
+    Ref: icp.py:7-110 (forward :73).
+    """
+
+    def __init__(self, stepper=None, init=None):
+        super().__init__()
+        self.stepper = ReduceToBason(steps=200) if stepper is None \
+            else stepper
+        assert init is None or is_SE3(init), \
+            'The initial transformation is not SE3Type.'
+        self.init = init
+
+    def forward(self, source, target, ord=2, dim=-1, init=None):
+        temporal = source
+        init = init if init is not None else self.init
+        if init is not None:
+            assert is_SE3(init), \
+                'The initial transformation is not SE3Type LieTensor.'
+            temporal = init.unsqueeze(-2) @ temporal
+        batch = jnp.broadcast_shapes(source.shape[:-2], target.shape[:-2])
+        self.stepper.reset()
+        while self.stepper.continual():
+            knndist, knnidx = knn(temporal, target, k=1, ord=ord, dim=dim)
+            error = knndist[..., 0].mean(axis=-1)
+            targetb = jnp.broadcast_to(target, batch + target.shape[-2:])
+            idx = jnp.broadcast_to(knnidx[..., 0],
+                                   batch + source.shape[-2:-1])
+            knntarget = jnp.take_along_axis(targetb, idx[..., None], axis=-2)
+            T = svdtf(temporal, knntarget)
+            temporal = T.unsqueeze(-2) @ temporal
+            self.stepper.step(error)
+        return svdtf(source, temporal)

@@ -1,0 +1,197 @@
+r"""IMU preintegration (Forster et al.) on associative scans.
+
+Ref: pypose/module/imu_preintegrator.py.  Both the SO3 increment product
+(imu_preintegrator.py:342) and the 9x9 covariance recursion (:461-464) are
+associative, so they run as O(log F) ``lax.associative_scan``s on TPU
+(via pypose_tpu.basics.cumprod).
+"""
+
+import jax.numpy as jnp
+
+from ..nn import Module
+from ..basics.ops import cumprod
+from ..lietensor.lietensor import LieTensor
+from ..lietensor.basics import vec2skew
+from ..lietensor.utils import identity_SO3, so3
+
+
+class IMUPreintegrator(Module):
+    r"""Propagates IMU measurements between discrete frames.
+
+    Ref: imu_preintegrator.py:8-465 (forward :128, integrate :314,
+    predict :387, propagate_cov :429).
+    """
+
+    def __init__(self, pos=jnp.zeros(3), rot=identity_SO3(),
+                 vel=jnp.zeros(3), gravity=9.81007, gyro_cov=3.2e-9,
+                 acc_cov=8e-8, prop_cov=True, reset=False):
+        super().__init__()
+        if not reset and not prop_cov:
+            raise RuntimeError(
+                '"prop_cov" and "reset" cannot be False simultaneously.')
+        self.prop_cov, self.reset = prop_cov, reset
+        if isinstance(acc_cov, float):
+            acc_cov = jnp.array([[acc_cov] * 3])
+        if isinstance(gyro_cov, float):
+            gyro_cov = jnp.array([[gyro_cov] * 3])
+        self.register_buffer('gravity', jnp.array([0., 0., gravity]))
+        self.register_buffer('pos', self._check(jnp.asarray(pos)))
+        self.register_buffer('rot', self._check(rot))
+        self.register_buffer('vel', self._check(jnp.asarray(vel)))
+        self.register_buffer('cov', jnp.zeros((1, 9, 9)))
+        self.register_buffer('gyro_cov', gyro_cov)
+        self.register_buffer('acc_cov', acc_cov)
+        self.Rij = None
+
+    @staticmethod
+    def _check(obj):
+        if obj is not None:
+            if obj.ndim == 2:
+                obj = obj[None, ...]
+            elif obj.ndim == 1:
+                obj = obj[None, None, ...]
+        return obj
+
+    def forward(self, dt, gyro, acc, rot=None, gyro_cov=None, acc_cov=None,
+                init_state=None):
+        """Ref: imu_preintegrator.py:128-312."""
+        assert 0 < len(acc.shape) == len(jnp.asarray(dt).shape) \
+            == len(gyro.shape) <= 3
+        acc, gyro = self._check(jnp.asarray(acc)), self._check(
+            jnp.asarray(gyro))
+        dt = self._check(jnp.asarray(dt))
+        rot = self._check(rot) if rot is not None else None
+        B = dt.shape[0]
+
+        if init_state is None:
+            init_state = {'pos': self.pos, 'rot': self.rot, 'vel': self.vel}
+
+        inte_state = self.integrate(dt, gyro, acc, rot=rot,
+                                    init_rot=init_state['rot'])
+        predict = self.predict(init_state, inte_state)
+
+        if self.prop_cov:
+            if gyro_cov is None:
+                gyro_cov = jnp.tile(self.gyro_cov, (B, 1, 1))
+            if acc_cov is None:
+                acc_cov = jnp.tile(self.acc_cov, (B, 1, 1))
+            if 'cov' not in init_state or init_state['cov'] is None:
+                init_cov = jnp.broadcast_to(self.cov, (B, 9, 9))
+            else:
+                init_cov = init_state['cov']
+            Rij = init_state.get('Rij', self.Rij)
+            if Rij is not None:
+                Rij = Rij * inte_state['Dr']
+            else:
+                Rij = inte_state['Dr']
+            import jax
+            sg = jax.lax.stop_gradient
+            cov_input = {
+                'Rij': LieTensor(sg(Rij.tensor()), ltype=Rij.ltype),
+                'Rk': LieTensor(sg(inte_state['w'].tensor()),
+                                ltype=inte_state['w'].ltype),
+                'Ha': vec2skew(sg(inte_state['a'])),
+                'dt': sg(dt)}
+            cov = self.propagate_cov(cov_input, init_cov, gyro_cov, acc_cov)
+        else:
+            Rij = None
+            cov = {'cov': None}
+
+        if not self.reset:
+            self.pos = predict['pos'][..., -1:, :]
+            self.rot = predict['rot'][..., -1:, :]
+            self.vel = predict['vel'][..., -1:, :]
+            self.cov = cov['cov']
+            if Rij is not None:
+                self.Rij = Rij[..., -1:, :]
+        return {**predict, **cov}
+
+    def integrate(self, dt, gyro, acc, rot=None, init_rot=None):
+        """Delta terms via cumulative SO3 product + cumsums.
+
+        Ref: imu_preintegrator.py:314-385.
+        """
+        B, F = dt.shape[:2]
+        dtype = dt.dtype
+        dr = so3(gyro * dt).Exp()
+        w = LieTensor(jnp.concatenate(
+            [identity_SO3(B, 1, dtype=dtype).tensor(), dr.tensor()],
+            axis=1), ltype=dr.ltype)
+        incre_r = cumprod(w, dim=1, left=False)
+        if isinstance(rot, LieTensor):
+            a = acc - rot.Inv() @ self.gravity
+        else:
+            if init_rot is None:
+                init_rot = identity_SO3(B, 1, dtype=dtype)
+            inte_rot = init_rot * incre_r
+            a = acc - inte_rot[:, 1:, :].Inv() @ self.gravity
+        dv = jnp.concatenate(
+            [jnp.zeros((B, 1, 3), dtype=dtype), (incre_r[:, :F, :] @ a) * dt],
+            axis=1)
+        incre_v = jnp.cumsum(dv, axis=1)
+        dp = jnp.concatenate(
+            [jnp.zeros((B, 1, 3), dtype=dtype),
+             incre_v[:, :F, :] * dt + (incre_r[:, :F, :] @ a) * 0.5 * dt ** 2],
+            axis=1)
+        incre_p = jnp.cumsum(dp, axis=1)
+        incre_t = jnp.cumsum(dt, axis=1)
+        incre_t = jnp.concatenate(
+            [jnp.zeros((B, 1, 1), dtype=dtype), incre_t], axis=1)
+        return {'a': a, 'Dp': incre_p[:, 1:, :], 'Dv': incre_v[:, 1:, :],
+                'Dr': incre_r[:, 1:, :], 'Dt': incre_t[:, 1:, :],
+                'w': w[:, 1:, :]}
+
+    def predict(self, init_state, integrate):
+        """Compose deltas with the initial state.  Ref: imu_preintegrator.py:387-427."""
+        return {
+            'rot': init_state['rot'] * integrate['Dr'],
+            'vel': init_state['vel'] + init_state['rot'] * integrate['Dv'],
+            'pos': init_state['pos'] + init_state['rot'] * integrate['Dp']
+                   + init_state['vel'] * integrate['Dt'],
+        }
+
+    def propagate_cov(self, cov_input, init_cov, gyro_cov, acc_cov):
+        """9x9 A/B recursion evaluated as one flipped cumprod + sum.
+
+        Ref: imu_preintegrator.py:429-465.
+        """
+        B, F = cov_input['dt'].shape[:2]
+        dtype = cov_input['dt'].dtype
+        Cg = jnp.zeros((B, F, 3, 3), dtype=dtype) + \
+            gyro_cov[..., None] * jnp.eye(3, dtype=dtype)
+        Ca = jnp.zeros((B, F, 3, 3), dtype=dtype) + \
+            acc_cov[..., None] * jnp.eye(3, dtype=dtype)
+        dt = cov_input['dt']
+        Rij = cov_input['Rij'].matrix()
+        Rk = cov_input['Rk']
+        Ha = cov_input['Ha']
+
+        A = jnp.broadcast_to(jnp.eye(9, dtype=dtype),
+                             (B, F + 1, 9, 9)).copy()
+        A = A.at[:, :-1, 0:3, 0:3].set(jnp.swapaxes(Rk.matrix(), -1, -2))
+        A = A.at[:, :-1, 3:6, 0:3].set(
+            (-Rij @ Ha) * dt[..., None])
+        A = A.at[:, :-1, 6:9, 0:3].set(
+            (-0.5 * Rij @ Ha) * (dt ** 2)[..., None])
+        A = A.at[:, :-1, 6:9, 3:6].set(
+            jnp.eye(3, dtype=dtype) * dt[..., None])
+
+        Bg = jnp.zeros((B, F, 9, 3), dtype=dtype)
+        Ba = jnp.zeros((B, F, 9, 3), dtype=dtype)
+        Bg = Bg.at[..., 0:3, 0:3].set(Rk.Jr() * dt[..., None])
+        Ba = Ba.at[..., 3:6, 0:3].set(Rij * dt[..., None])
+        Ba = Ba.at[..., 6:9, 0:3].set(0.5 * Rij * (dt ** 2)[..., None])
+
+        B_cov = (Bg @ Cg @ jnp.swapaxes(Bg, -1, -2)
+                 + Ba @ Ca @ jnp.swapaxes(Ba, -1, -2)) / dt[..., None]
+        B_cov = jnp.concatenate([init_cov[:, None], B_cov], axis=1)
+
+        # out_j = A_j @ A_{j+1} @ ... @ A_F (flipped left-cumprod,
+        # imu_preintegrator.py:461-462), as an O(log F) associative scan
+        import jax
+        A_flip = jnp.flip(A, axis=1)
+        scan = jax.lax.associative_scan(lambda a, b: b @ a, A_flip, axis=1)
+        A_left_cum = jnp.flip(scan, axis=1)
+        A_right_cum = jnp.swapaxes(A_left_cum, -1, -2)
+        cov = jnp.sum(A_left_cum @ B_cov @ A_right_cum, axis=1)
+        return {'cov': cov, 'Rij': cov_input['Rij'][..., -1:, :]}

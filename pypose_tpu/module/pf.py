@@ -1,0 +1,62 @@
+r"""Particle Filter.  Ref: pypose/module/pf.py."""
+
+import jax
+import jax.numpy as jnp
+
+from .ekf import EKF
+from ..function.linalg import bvv
+from ..lietensor.lietensor import _next_key
+
+
+class PF(EKF):
+    r"""Batched particle filter with likelihood weighting and inverse-CDF
+    resampling.  Ref: pf.py:8-196 (forward :130).
+    """
+
+    def __init__(self, model, Q=None, R=None, particles=1000):
+        super().__init__(model, Q, R)
+        self.particles = particles
+
+    def forward(self, x, y, u, P, Q=None, R=None, t=None, key=None):
+        Q = Q if Q is not None else self.Q
+        R = R if R is not None else self.R
+        key = _next_key() if key is None else key
+        k1, k2 = jax.random.split(key)
+        self.model.set_refpoint(state=x, input=u, t=t)
+        n = x.shape[-1]
+        xp = self.generate_particles(x, n * P, k1)
+        xs = self.model.state_transition(xp, u, t)
+        ye = self.model.observation(xs, u, t)
+        q = self.relative_likelihood(y, ye, R)
+        xr = self.resample_particles(q, xs, k2)
+        x = xr.mean(axis=-2)
+        ex = xr - x[..., None, :]
+        P = self.compute_cov(ex, ex, Q)
+        return x, P
+
+    def generate_particles(self, x, P, key):
+        """Sample particles ~ N(x, P).  Ref: pf.py:166-185."""
+        return jax.random.multivariate_normal(
+            key, x, P, shape=(self.particles,) + x.shape[:-1],
+            dtype=x.dtype).swapaxes(0, -2) if x.ndim > 1 else \
+            jax.random.multivariate_normal(
+                key, x, P, shape=(self.particles,), dtype=x.dtype)
+
+    def relative_likelihood(self, y, ye, R):
+        """Softmax of Gaussian log-likelihoods.  Ref: pf.py:157-164."""
+        d = y[..., None, :] - ye
+        Rinv = jnp.linalg.inv(R)
+        logp = -0.5 * jnp.einsum('...i,...ij,...j->...', d, Rinv, d)
+        return jax.nn.softmax(logp, axis=-1)
+
+    def resample_particles(self, q, x, key):
+        """Inverse-CDF resampling.  Ref: pf.py:186-194."""
+        r = jax.random.uniform(key, (self.particles,), dtype=x.dtype)
+        cumsumq = jnp.cumsum(q, axis=-1)
+        idx = jnp.searchsorted(cumsumq, r)
+        idx = jnp.clip(idx, 0, self.particles - 1)
+        return jnp.take(x, idx, axis=-2)
+
+    def compute_cov(self, a, b, Q=0):
+        """Covariance of particles.  Ref: pf.py:195-196."""
+        return Q + bvv(a, b).mean(axis=-3)

@@ -26,13 +26,24 @@ class PINV:
 
 
 class LSTSQ:
-    """Least-squares solve.  Ref: solver.py:71-154."""
+    """Least-squares solve (batched over leading dims).  Ref: solver.py:71-154."""
 
     def __init__(self, rcond=None, driver=None):
         self.rcond, self.driver = rcond, driver
 
     def __call__(self, A, b):
-        return jnp.linalg.lstsq(A, b, rcond=self.rcond)[0]
+        if A.ndim == 2 and b.ndim <= 2:
+            return jnp.linalg.lstsq(A, b, rcond=self.rcond)[0]
+        # batched: b is batch + (M,) or batch + (M, K)
+        vdim = 1 if b.ndim == A.ndim - 1 else 2
+        batch = jnp.broadcast_shapes(A.shape[:-2], b.shape[:-vdim])
+        A2 = jnp.broadcast_to(A, batch + A.shape[-2:])
+        b2 = jnp.broadcast_to(b, batch + b.shape[-vdim:])
+        A2 = A2.reshape((-1,) + A2.shape[-2:])
+        b2 = b2.reshape((-1,) + b2.shape[-vdim:])
+        out = jax.vmap(lambda a, bb: jnp.linalg.lstsq(
+            a, bb, rcond=self.rcond)[0])(A2, b2)
+        return out.reshape(batch + out.shape[1:])
 
 
 class Cholesky:

@@ -1,0 +1,430 @@
+r"""Sparse factor-graph Levenberg-Marquardt, TPU-native.
+
+This replaces the reference's optional external CUDA backend ``bae``
+(``LM(model, sparse=True)``: optimizer.py:629-643, TrackingTensor index
+recording lietensor.py:1308-1329, ``psjac`` autograd/function.py:51-84) with
+a structurally simpler design: in a factor graph the Jacobian's sparsity is
+*static* (edge index lists), so no runtime tracing is needed —
+
+* per-edge **tangent-space** Jacobian blocks come from ``vmap(jacrev)`` of
+  the edge residual under a left-retraction perturbation: J has shape
+  ``[E, d, arity, tan]`` per variable group;
+* the normal equations ``A = J^T W J`` are never materialized: CG/PCG sees
+  a gather -> block-einsum -> scatter-add **matvec**, the layout XLA maps
+  best onto TPU (segment-sum over edges);
+* a block-Jacobi preconditioner (per-node ``tan x tan`` blocks, batched
+  3x3/6x6 inverses on the MXU) accelerates CG;
+* the LM damping/reject loop runs inside ``lax.while_loop`` like the dense
+  path (optimizer.py:662-679 semantics).
+
+Unlike the dense path (which differentiates w.r.t. storage coordinates for
+reference parity), the sparse path parameterizes in the tangent space: fewer
+columns, no zero quaternion-w column, better conditioning.
+"""
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..lietensor.lietensor import LieTensor
+from .corrector import Trivial
+from .strategy import TrustRegion
+from .solver import CG
+
+
+def _tan_dim(v):
+    return v.ltype.manifold[0] if isinstance(v, LieTensor) else v.shape[-1]
+
+
+def _retract(v, eps):
+    """Left retraction Exp(eps) * v for groups; v + eps for Euclidean."""
+    if isinstance(v, LieTensor):
+        return v.add(eps)
+    return v + eps
+
+
+class Factor:
+    r"""A batch of E identical residual factors.
+
+    Args:
+        residual: ``residual(values, consts) -> (d,)`` for ONE edge, where
+            ``values`` is a dict ``name -> LieTensor/array`` with leading
+            ``arity`` dim (the gathered variable nodes for this edge).
+        indices: dict ``name -> int array [E, arity]`` mapping each edge to
+            the rows of the corresponding variable group.
+        consts: pytree of per-edge constants, leading dim E (measurements).
+        weight: optional information matrices ``[E, d, d]`` (or ``[d, d]``).
+        kernel: optional robust kernel on ``chi2 = r^T W r`` (FastTriggs
+            scaling, corrector.py:69-95).
+    """
+
+    def __init__(self, residual, indices, consts=None, weight=None,
+                 kernel=None):
+        self.residual = residual
+        self.indices = {k: jnp.asarray(v) for k, v in indices.items()}
+        for k, v in self.indices.items():
+            if v.ndim == 1:
+                self.indices[k] = v[:, None]
+        self.consts = consts
+        self.weight = weight
+        self.kernel = kernel
+        self.num_edges = next(iter(self.indices.values())).shape[0]
+
+
+class SparseLM:
+    r"""Levenberg-Marquardt over a factor graph with matvec-CG normal
+    equations.  Ref semantics: optimizer.py:330-680 (sparse branch).
+
+    Args:
+        params: dict ``name -> LieTensor [N, D] | array [N, D]`` stacked
+            variable nodes.
+        factors: list of :class:`Factor`.
+        solver: matvec-capable solver (default CG with block-Jacobi
+            preconditioning built in).
+        strategy: damping strategy (default TrustRegion).
+    """
+
+    def __init__(self, params, factors, solver=None, strategy=None,
+                 reject=16, min=1e-6, max=1e32, cg_iter=None, cg_tol=1e-5,
+                 fixed=None):
+        self.params = dict(params)
+        self.factors = list(factors)
+        self.strategy = TrustRegion() if strategy is None else strategy
+        self.solver = solver
+        self.min, self.max = min, max
+        self.reject = reject
+        self.cg_iter = cg_iter
+        self.cg_tol = cg_tol
+        # fixed: dict name -> bool mask [N] of gauge-fixed nodes (their
+        # tangent update is forced to zero — e.g. anchor the first pose).
+        self.fixed = fixed or {}
+        self.strategy_state = None
+        self.loss = None
+        self.last = None
+        self.reject_count = 0
+        self._step_fn = None
+
+    # ------------------------------------------------------------------
+    # per-factor residuals + tangent Jacobian blocks
+    # ------------------------------------------------------------------
+    def _gather(self, params, factor):
+        vals = {}
+        for name, idx in factor.indices.items():
+            p = params[name]
+            vals[name] = p[idx] if isinstance(p, LieTensor) \
+                else jnp.take(p, idx, axis=0)
+        return vals
+
+    def _edge_r_jac(self, params, factor):
+        vals = self._gather(params, factor)  # name -> [E, arity, D]
+        names = list(factor.indices.keys())
+
+        def one_edge(vals_e, consts_e):
+            def f(eps):
+                newv = {n: _retract(vals_e[n], eps[n]) for n in names}
+                return factor.residual(newv, consts_e)
+
+            eps0 = {n: jnp.zeros(
+                (factor.indices[n].shape[1], _tan_dim(params[n])),
+                dtype=jnp.result_type(
+                    vals_e[n].tensor() if isinstance(vals_e[n], LieTensor)
+                    else vals_e[n]))
+                for n in names}
+            J = jax.jacrev(f)(eps0)          # name -> [d, arity, tan]
+            r = f(eps0)
+            return r, J
+
+        return jax.vmap(one_edge)(vals, factor.consts)
+
+    def _weighted(self, factor, r, J):
+        """Apply robust kernel (FastTriggs) and info weights -> (r, J, WR, WJ, chi2)."""
+        w = factor.weight
+        if w is not None:
+            w = jnp.asarray(w)
+            if w.ndim == 2:
+                w = jnp.broadcast_to(w, (r.shape[0],) + w.shape)
+        if factor.kernel is not None:
+            chi = jnp.sum(r * (jnp.einsum('eij,ej->ei', w, r)
+                               if w is not None else r), -1, keepdims=True)
+            g1 = jax.grad(lambda v: jnp.sum(factor.kernel(v)))(chi)
+            s = jnp.sqrt(jnp.maximum(g1, 0.0))
+            r = s * r
+            J = {n: s[..., None, None] * j for n, j in J.items()}
+        if w is None:
+            return r, J, r, J
+        WR = jnp.einsum('eij,ej->ei', w, r)
+        WJ = {n: jnp.einsum('eij,ejat->eiat', w, j) for n, j in J.items()}
+        return r, J, WR, WJ
+
+    def _chi2(self, params):
+        total = 0.0
+        for f in self.factors:
+            vals = self._gather(params, f)
+            r = jax.vmap(lambda v, c: f.residual(v, c))(vals, f.consts)
+            w = f.weight
+            if w is not None:
+                w = jnp.asarray(w)
+                if w.ndim == 2:
+                    w = jnp.broadcast_to(w, (r.shape[0],) + w.shape)
+                chi = jnp.sum(r * jnp.einsum('eij,ej->ei', w, r), -1)
+            else:
+                chi = jnp.sum(r * r, -1)
+            if f.kernel is not None:
+                chi = f.kernel(chi)
+            total = total + jnp.sum(chi)
+        return total
+
+    # ------------------------------------------------------------------
+    # normal-equation operators (matvec-only)
+    # ------------------------------------------------------------------
+    def _mask(self, name, x):
+        m = self.fixed.get(name)
+        if m is None:
+            return x
+        return jnp.where(jnp.asarray(m)[:, None], 0.0, x)
+
+    def _matvec(self, blocks, x):
+        """y = J^T W J x over the tangent pytree x (dict name -> [N, tan])."""
+        out = {n: jnp.zeros_like(v) for n, v in x.items()}
+        for f, (r, J, WR, WJ) in zip(self.factors, blocks):
+            Jx = 0.0
+            for n in f.indices:
+                xg = jnp.take(self._mask(n, x[n]), f.indices[n], axis=0)
+                Jx = Jx + jnp.einsum('edat,eat->ed', J[n], xg)
+            for n in f.indices:
+                contrib = jnp.einsum('edat,ed->eat', WJ[n], Jx)
+                idx = f.indices[n].reshape(-1)
+                out[n] = out[n].at[idx].add(
+                    contrib.reshape(-1, contrib.shape[-1]))
+        return {n: self._mask(n, v) for n, v in out.items()}
+
+    def _rhs(self, blocks):
+        """b = -J^T W r."""
+        out = {}
+        for f, (r, J, WR, WJ) in zip(self.factors, blocks):
+            for n in f.indices:
+                contrib = jnp.einsum('edat,ed->eat', WJ[n], r)
+                idx = f.indices[n].reshape(-1)
+                if n not in out:
+                    out[n] = jnp.zeros(
+                        (self.params[n].shape[0], contrib.shape[-1]),
+                        dtype=contrib.dtype)
+                out[n] = out[n].at[idx].add(
+                    -contrib.reshape(-1, contrib.shape[-1]))
+        return {n: self._mask(n, v) for n, v in out.items()}
+
+    def _diag(self, blocks):
+        """diag(J^T W J) per tangent coordinate (for LM damping)."""
+        out = {}
+        for f, (r, J, WR, WJ) in zip(self.factors, blocks):
+            for n in f.indices:
+                d = jnp.sum(J[n] * WJ[n], axis=1)  # [E, arity, tan]
+                idx = f.indices[n].reshape(-1)
+                if n not in out:
+                    out[n] = jnp.zeros(
+                        (self.params[n].shape[0], d.shape[-1]),
+                        dtype=d.dtype)
+                out[n] = out[n].at[idx].add(d.reshape(-1, d.shape[-1]))
+        return out
+
+    def _block_jacobi(self, blocks, damped_scale):
+        """Per-node tan x tan blocks of J^T W J (+ LM damping), inverted."""
+        inv = {}
+        for f, (r, J, WJ_r, WJ) in zip(self.factors, blocks):
+            for n in f.indices:
+                B = jnp.einsum('edat,edau->eatu', WJ[n], J[n])
+                idx = f.indices[n].reshape(-1)
+                t = B.shape[-1]
+                if n not in inv:
+                    inv[n] = jnp.zeros(
+                        (self.params[n].shape[0], t, t), dtype=B.dtype)
+                inv[n] = inv[n].at[idx].add(B.reshape(-1, t, t))
+        out = {}
+        for n, B in inv.items():
+            # replace the diagonal by its clamped + LM-damped value (same
+            # treatment the matvec applies), keep off-diagonals
+            d = jnp.clip(jnp.diagonal(B, axis1=-2, axis2=-1),
+                         self.min, self.max) * damped_scale[n]
+            eye = jnp.eye(B.shape[-1], dtype=B.dtype)
+            B = B + (d - jnp.diagonal(B, axis1=-2, axis2=-1))[..., None] * eye
+            out[n] = jnp.linalg.inv(B + 1e-8 * eye)
+        return out
+
+    # ------------------------------------------------------------------
+    def _core(self, params, strat_state):
+        blocks = [self._weighted(f, *self._edge_r_jac(params, f))
+                  for f in self.factors]
+        b = self._rhs(blocks)
+        diag_raw = self._diag(blocks)
+        diagA = {n: jnp.clip(v, self.min, self.max)
+                 for n, v in diag_raw.items()}
+        last = self._chi2(params)
+        nparam = sum(int(np.prod(v.shape[:-1])) * _tan_dim(v)
+                     for v in params.values())
+        maxiter = self.cg_iter if self.cg_iter is not None \
+            else min(10 * nparam, 500)
+
+        def solve(damping):
+            def Avp(x):
+                # A with its diagonal clamped to [min, max] then damped,
+                # matching the reference's in-place diag treatment
+                # (optimizer.py:655-657, 663-666)
+                y = self._matvec(blocks, x)
+                return {n: y[n] + (diagA[n] - diag_raw[n]
+                                   + damping * diagA[n])
+                        * self._mask(n, x[n]) for n in y}
+
+            Binv = self._block_jacobi(
+                blocks, {n: 1.0 + damping for n in diagA})
+
+            def M(x):
+                return {n: jnp.einsum('ntu,nu->nt', Binv[n], x[n])
+                        for n in x}
+
+            x, _ = jax.scipy.sparse.linalg.cg(
+                Avp, b, tol=self.cg_tol, maxiter=maxiter, M=M)
+            return x
+
+        def retract_all(p, delta):
+            out = {}
+            for n, v in p.items():
+                d = self._mask(n, delta[n])
+                if isinstance(v, LieTensor):
+                    new = v.add(d)
+                    if type(new) is not type(v):
+                        new = type(v)(new)
+                    out[n] = new
+                else:
+                    out[n] = v + d
+            return out
+
+        def pred_reduction(blocks_, delta, WRs):
+            """-(JD)^T W (2R + JD) accumulated per factor."""
+            total = 0.0
+            for f, (r, J, WR, WJ) in zip(self.factors, blocks_):
+                Jd = 0.0
+                for n in f.indices:
+                    xg = jnp.take(self._mask(n, delta[n]), f.indices[n],
+                                  axis=0)
+                    Jd = Jd + jnp.einsum('edat,eat->ed', J[n], xg)
+                WJd = jnp.einsum('eij,ej->ei', jnp.broadcast_to(
+                    jnp.asarray(f.weight), (r.shape[0],) + (r.shape[-1],) * 2
+                ), Jd) if f.weight is not None else Jd
+                total = total + jnp.sum(WJd * (2.0 * r + Jd))
+            return -total
+
+        def cond(state):
+            return ~state[-1]
+
+        def body(state):
+            p0, loss, strat, count, _ = state
+            D = solve(strat['damping'])
+            flat = jnp.concatenate([v.reshape(-1) for v in
+                                    jax.tree_util.tree_leaves(D)])
+            bad = ~jnp.all(jnp.isfinite(flat))
+            D = jax.tree_util.tree_map(
+                lambda v: jnp.where(bad, jnp.zeros_like(v), v), D)
+            cand = retract_all(p0, D)
+            loss_new = self._chi2(cand)
+            pred = pred_reduction(blocks, D, None)
+            q = (last - loss_new) / jnp.where(pred == 0, 1e-31, pred)
+            strat_new = self._strategy_update(strat, q)
+            worse = last < loss_new
+            rejectable = worse & (count < self.reject) & ~bad
+            done = ~rejectable
+            take = done & ~bad
+            p_out = jax.tree_util.tree_map(
+                lambda a, c: jnp.where(take, c, a), p0, cand)
+            loss_out = jnp.where(take, loss_new, last)
+            return (p_out, loss_out, strat_new,
+                    count + rejectable.astype(count.dtype), done)
+
+        state0 = (params, last, strat_state, jnp.asarray(0, jnp.int32),
+                  jnp.asarray(False))
+        p_f, loss_f, strat_f, count_f, _ = jax.lax.while_loop(
+            cond, body, state0)
+        return p_f, loss_f, last, strat_f, count_f
+
+    def _strategy_update(self, strat, quality):
+        """Strategy update from a precomputed gain ratio (sparse path never
+        materializes J, so the dense strategies' (J, D, R) signature is
+        bypassed)."""
+        s = self.strategy
+        if hasattr(s, 'up'):  # TrustRegion / Adaptive
+            if hasattr(s, 'down0'):  # TrustRegion
+                radius = 1.0 / strat['damping']
+                down = strat['down']
+                radius_new = jnp.where(
+                    quality > s.high, s.up * radius,
+                    jnp.where(quality > s.low, radius, radius * down))
+                down_new = jnp.where(
+                    quality > s.low, jnp.asarray(s.down0, down.dtype),
+                    down * s.factor)
+                return {'damping': 1.0 / jnp.clip(radius_new, s.min, s.max),
+                        'down': jnp.clip(down_new, s.min, s.max)}
+            d = strat['damping']
+            d = jnp.where(quality > s.high, d * s.down,
+                          jnp.where(quality > s.low, d, d * s.up))
+            return {'damping': jnp.clip(d, s.min, s.max)}
+        return strat  # Constant
+
+    def step(self):
+        if self.strategy_state is None:
+            dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
+            self.strategy_state = self.strategy.init(dtype)
+        if self._step_fn is None:
+            self._step_fn = jax.jit(self._core)
+        p, loss, last, strat, count = self._step_fn(
+            self.params, self.strategy_state)
+        self.params = p
+        self.strategy_state = strat
+        self.reject_count = int(count)
+        self.last = float(last)
+        self.loss = float(loss)
+        return self.loss
+
+
+def pgo_factor(edges, poses, infos=None, kernel=None, name='poses'):
+    r"""Relative-pose factor for pose-graph optimization.
+
+    Residual per edge (i, j): ``Log(Z^{-1} (X_i^{-1} X_j))`` with optional
+    6x6 information-matrix weights.  Workload parity:
+    examples/module/pgo/pgo.py:25-43.
+    """
+
+    def residual(values, Z):
+        Xi, Xj = values[name][0], values[name][1]
+        return (Z.Inv() @ (Xi.Inv() @ Xj)).Log().tensor()
+
+    return Factor(residual, indices={name: edges}, consts=poses,
+                  weight=infos, kernel=kernel)
+
+
+def pgo(nodes, edges, poses, infos=None, steps=10, strategy=None,
+        kernel=None, fix_first=True, cg_iter=100, cg_tol=1e-5, tol=1e-7,
+        verbose=False):
+    r"""Solve a pose graph with SparseLM; returns (optimized SE3 nodes,
+    chi2 history).  Workload parity: examples/module/pgo/pgo.py:45-85."""
+    n = nodes.lshape[0]
+    fixed = None
+    if fix_first:
+        fixed = {'poses': jnp.zeros(n, bool).at[0].set(True)}
+    factor = pgo_factor(edges, poses, infos, kernel)
+    opt = SparseLM({'poses': nodes}, [factor],
+                   strategy=strategy or TrustRegion(radius=1e4),
+                   fixed=fixed, cg_iter=cg_iter, cg_tol=cg_tol)
+    history = []
+    for i in range(steps):
+        loss = opt.step()
+        history.append(loss)
+        if verbose:
+            print(f'pgo step {i}: chi2 {loss:.6e}')
+        if opt.reject_count > 0:
+            break
+        if len(history) > 1 and \
+                history[-2] - history[-1] < tol * max(1.0, history[-1]):
+            break
+    return opt.params['poses'], history

