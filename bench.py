@@ -1,0 +1,127 @@
+"""Benchmark harness: prints ONE JSON line to stdout.
+
+Headline metric: sphere2500 pose-graph LM time-to-convergence on one chip
+(warm, post-compile), vs the 5 s baseline target (BASELINE.json).
+Secondary metrics (SE3 Exp/Log+Jacobian throughput at 1e5 batch) go to
+stderr.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def microbench_lieops(batch=100_000, iters=20):
+    import pypose_tpu as pp
+    from pypose_tpu.lietensor.jacobian import se3_Jl
+
+    x = pp.randn_se3(batch, key=jax.random.PRNGKey(0))
+    X = x.Exp()
+    p = jax.random.normal(jax.random.PRNGKey(1), (batch, 3))
+
+    @jax.jit
+    def fused(xd, Xd, p):
+        xl = pp.se3(xd)
+        Xl = pp.SE3(Xd)
+        y = xl.Exp()            # Exp
+        z = Xl.Log()            # Log
+        J = se3_Jl(z.tensor())  # analytic 6x6 left Jacobian
+        q = y.Act(p)            # action
+        return y.tensor(), z.tensor(), J, q
+
+    args = (x.tensor(), X.tensor(), p)
+    out = fused(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fused(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    ops_per_sec = batch / dt
+    log(f'[micro] SE3 Exp+Log+Jl+Act fused @ {batch}: '
+        f'{dt*1e3:.3f} ms/iter = {ops_per_sec:.3e} group-elem/s')
+
+    # jacobian of Act w.r.t. pose tangent via vmapped jacrev
+    @jax.jit
+    def jac(Xd, p):
+        f = lambda X_, p_: pp.SE3(X_).Act(p_)
+        return jax.vmap(jax.jacrev(f))(Xd, p)
+
+    J = jac(X.tensor(), p)
+    jax.block_until_ready(J)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        J = jac(X.tensor(), p)
+    jax.block_until_ready(J)
+    dtj = (time.perf_counter() - t0) / iters
+    log(f'[micro] vmapped jacrev(Act) @ {batch}: {dtj*1e3:.3f} ms/iter '
+        f'= {batch/dtj:.3e} jac/s')
+    return ops_per_sec
+
+
+def bench_pgo_sphere2500():
+    import jax.numpy as jnp
+    from pypose_tpu.datasets import synthetic_sphere
+    from pypose_tpu.optim.sparse import SparseLM, pgo_factor
+    from pypose_tpu.optim.strategy import TrustRegion
+
+    ds = synthetic_sphere(2500)
+    n = 2500
+    fixed = {'poses': jnp.zeros(n, bool).at[0].set(True)}
+
+    def make_opt():
+        opt = SparseLM({'poses': ds['nodes']},
+                       [pgo_factor(ds['edges'], ds['poses'])],
+                       strategy=TrustRegion(radius=1e4), fixed=fixed,
+                       cg_iter=150, cg_tol=1e-6)
+        return opt
+
+    # cold run: establishes the reference chi2 (converged plateau) + compile
+    opt = make_opt()
+    t0 = time.perf_counter()
+    losses = [opt.step() for _ in range(6)]
+    log(f'[pgo] cold: compile+6 steps in {time.perf_counter()-t0:.1f}s, '
+        f'chi2 {losses[0]:.4e} -> {losses[-1]:.4e}')
+    ref_chi2 = losses[-1] * 1.01  # within 1% of converged value
+
+    # warm run: fresh problem state, SAME compiled step
+    step_fn, strat0 = opt._step_fn, opt.strategy.init(jnp.float32)
+    params = {'poses': ds['nodes']}
+    jax.block_until_ready(params['poses'].tensor())
+    t0 = time.perf_counter()
+    strat = strat0
+    steps = 0
+    chi2 = float('inf')
+    while chi2 > ref_chi2 and steps < 20:
+        params, loss, last, strat, count = step_fn(params, strat)
+        chi2 = float(loss)   # host sync each step, like a real loop
+        steps += 1
+    elapsed = time.perf_counter() - t0
+    log(f'[pgo] warm: {steps} LM steps to chi2 {chi2:.4e} '
+        f'(target {ref_chi2:.4e}) in {elapsed:.3f}s '
+        f'({elapsed/steps*1e3:.1f} ms/step)')
+    return elapsed, chi2
+
+
+def main():
+    log('devices:', jax.devices())
+    ops_per_sec = microbench_lieops()
+    elapsed, chi2 = bench_pgo_sphere2500()
+    baseline = 5.0  # seconds (BASELINE.json: sphere2500 to ref chi2 < 5 s)
+    print(json.dumps({
+        'metric': 'sphere2500_pgo_time_to_converge',
+        'value': round(elapsed, 4),
+        'unit': 'seconds',
+        'vs_baseline': round(baseline / elapsed, 2),
+    }), flush=True)
+
+
+if __name__ == '__main__':
+    main()

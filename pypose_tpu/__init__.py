@@ -45,3 +45,7 @@ from . import nn         # noqa: F401
 from . import module     # noqa: F401
 from . import utils      # noqa: F401
 from . import datasets   # noqa: F401
+from . import metric     # noqa: F401
+from . import sparse     # noqa: F401
+from . import func       # noqa: F401
+from . import autograd   # noqa: F401
