@@ -54,6 +54,95 @@ def load_g2o(path, dtype=jnp.float32):
     )
 
 
+def load_bal(path, dtype=jnp.float32):
+    """Parse a BAL (Bundle Adjustment in the Large) problem file.
+
+    Format: header ``n_cams n_points n_obs``; per-obs ``cam pt u v``;
+    then per-camera 9 params (Rodrigues(3), t(3), f, k1, k2); per-point 3.
+    Returns dict(poses=SE3[C], points=[P,3], cam_idx, pt_idx, pixels,
+    cameras=[C,3] (f,k1,k2)).  Workload parity:
+    examples/module/ba/bundle_adjustment.py:49-60.
+    """
+    with open(path) as f:
+        tokens = f.read().split()
+    it = iter(tokens)
+    C, P, O = int(next(it)), int(next(it)), int(next(it))
+    cam_idx = np.empty(O, np.int32)
+    pt_idx = np.empty(O, np.int32)
+    pixels = np.empty((O, 2))
+    for o in range(O):
+        cam_idx[o] = int(next(it))
+        pt_idx[o] = int(next(it))
+        pixels[o] = (float(next(it)), float(next(it)))
+    cams = np.array([float(next(it)) for _ in range(9 * C)]).reshape(C, 9)
+    points = np.array([float(next(it)) for _ in range(3 * P)]).reshape(P, 3)
+    # rodrigues -> quaternion via so3 Exp
+    from .lietensor.utils import so3
+    q = so3(jnp.asarray(cams[:, :3], dtype)).Exp().tensor()
+    poses = SE3(jnp.concatenate([jnp.asarray(cams[:, 3:6], dtype), q],
+                                axis=-1))
+    return dict(poses=poses, points=jnp.asarray(points, dtype),
+                cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
+                pixels=jnp.asarray(pixels, dtype),
+                cameras=jnp.asarray(cams[:, 6:9], dtype))
+
+
+def synthetic_bal(n_cams=16, n_points=800, obs_per_point=4, f=500.0,
+                  pose_noise=(0.05, 0.02), point_noise=0.05,
+                  pixel_noise=0.5, seed=0, dtype=jnp.float32):
+    """Deterministic synthetic BAL-style bundle-adjustment problem.
+
+    Cameras ring around a point cloud; every point observed by
+    ``obs_per_point`` nearby cameras.  Returns ground truth plus noisy
+    initialization in the same structure as :func:`load_bal` (+ ``gt_poses``,
+    ``gt_points``).
+    """
+    rng = np.random.default_rng(seed)
+    # cameras on a ring looking at the origin
+    ang = 2 * np.pi * np.arange(n_cams) / n_cams
+    centers = np.stack([10 * np.cos(ang), 10 * np.sin(ang),
+                        2 * np.ones(n_cams)], axis=-1)
+    # camera z-axis looks at origin: build rotation world->cam
+    fwd = -centers / np.linalg.norm(centers, axis=-1, keepdims=True)
+    up = np.broadcast_to(np.array([0., 0., 1.]), fwd.shape)
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right, axis=-1, keepdims=True)
+    down = np.cross(fwd, right)
+    R_wc = np.stack([right, down, fwd], axis=-2)  # rows = cam axes
+    t_wc = -np.einsum('cij,cj->ci', R_wc, centers)
+    from .lietensor.convert import mat2SO3
+    q = mat2SO3(jnp.asarray(R_wc, dtype), check=False).tensor()
+    gt_poses = SE3(jnp.concatenate([jnp.asarray(t_wc, dtype), q], axis=-1))
+
+    gt_points = jnp.asarray(rng.normal(size=(n_points, 3)) * 2.0, dtype)
+
+    # observations: each point seen by obs_per_point random cameras
+    cam_idx = rng.integers(0, n_cams, size=(n_points, obs_per_point))
+    cam_idx = np.sort(cam_idx, axis=1)
+    pt_idx = np.repeat(np.arange(n_points), obs_per_point)
+    cam_idx = cam_idx.reshape(-1)
+    cameras = jnp.broadcast_to(jnp.asarray([f, 0., 0.], dtype),
+                               (n_cams, 3))
+
+    from .lietensor.lietensor import LieTensor
+    Xc = gt_poses[jnp.asarray(cam_idx)].Act(gt_points[jnp.asarray(pt_idx)])
+    p = -Xc[:, :2] / Xc[:, 2:3]
+    pixels = f * p + jnp.asarray(
+        rng.normal(size=(len(cam_idx), 2)) * pixel_noise, dtype)
+
+    key = jax.random.PRNGKey(seed)
+    noise = randn_SE3(n_cams, sigma=pose_noise, key=key, dtype=dtype)
+    poses0 = noise @ gt_poses
+    poses0 = SE3(poses0.tensor().at[0].set(gt_poses.tensor()[0]))
+    points0 = gt_points + jnp.asarray(
+        rng.normal(size=(n_points, 3)) * point_noise, dtype)
+    return dict(poses=poses0, points=points0,
+                cam_idx=jnp.asarray(cam_idx, jnp.int32),
+                pt_idx=jnp.asarray(pt_idx, jnp.int32),
+                pixels=pixels, cameras=cameras,
+                gt_poses=gt_poses, gt_points=gt_points)
+
+
 def synthetic_sphere(n_poses=2500, radius=25.0, loops_per_pose=0.8,
                      meas_sigma=(0.05, 0.02), init_sigma=(1.0, 0.3),
                      seed=42, dtype=jnp.float32):

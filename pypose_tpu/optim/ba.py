@@ -1,0 +1,277 @@
+r"""Bundle adjustment with Schur-complement LM, TPU-native.
+
+Workload parity: examples/module/ba/bundle_adjustment.py (BAL problems via
+``LM(model, solver=PCG, sparse=True)`` on the external CUDA backend,
+optimizer.py:629-643).  TPU redesign exploits BA's two-block structure
+(cameras x points):
+
+* per-observation Jacobians (2x6 camera, 2x3 point) from ``vmap(jacrev)``
+  in tangent space;
+* the point-block Hessian ``Hpp`` is block-diagonal with 3x3 blocks ->
+  eliminated in closed form (batched 3x3 inverses);
+* the reduced camera system (Schur complement ``S = Hcc - Hcp Hpp^-1 Hpc``)
+  is solved matvec-only with CG + block-Jacobi(``Hcc``) preconditioning —
+  each matvec is a gather -> small-einsum -> segment-sum chain over
+  observations, which XLA fuses into a few TPU kernels;
+* point updates by back-substitution;
+* the LM damping/reject loop runs in ``lax.while_loop`` exactly like
+  the dense/sparse paths (optimizer.py:662-679 semantics).
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..lietensor.lietensor import LieTensor
+from ..lietensor.utils import SE3
+from .strategy import TrustRegion
+
+
+def reproj_residual_bal(pose, point, camera, pixel):
+    """BAL convention reprojection residual for ONE observation.
+
+    pose: SE3 (world->cam); point: (3,); camera: (f, k1, k2); pixel: (2,).
+    BAL projects with P = -X/Z and radial distortion.
+    """
+    Xc = pose.Act(point)
+    p = -Xc[:2] / Xc[2]
+    r2 = jnp.sum(p * p)
+    distortion = 1.0 + camera[1] * r2 + camera[2] * r2 * r2
+    return camera[0] * distortion * p - pixel
+
+
+def reproj_residual_pinhole(pose, point, intrinsics, pixel):
+    """Simple pinhole reprojection residual (f, cx, cy)."""
+    Xc = pose.Act(point)
+    p = Xc[:2] / Xc[2]
+    return intrinsics[0] * p + intrinsics[1:3] - pixel
+
+
+class BundleAdjustment:
+    r"""Schur-complement LM for bundle adjustment.
+
+    Args:
+        poses: SE3 [C] camera poses (world -> camera).
+        points: [P, 3] world points.
+        cam_idx, pt_idx: int [O] observation index lists.
+        pixels: [O, 2] observations.
+        cameras: [O, k] or [C, k] per-observation/per-camera intrinsics
+            passed to ``residual``.
+        residual: ``residual(pose, point, camera, pixel) -> (2,)``
+            (default: BAL convention).
+        fix_first_pose: gauge-fix camera 0.
+    """
+
+    def __init__(self, poses, points, cam_idx, pt_idx, pixels, cameras,
+                 residual=None, strategy=None, reject=16, min=1e-6,
+                 max=1e32, cg_iter=50, cg_tol=1e-5, fix_first_pose=False,
+                 kernel=None):
+        self.poses, self.points = poses, jnp.asarray(points)
+        self.cam_idx = jnp.asarray(cam_idx, jnp.int32)
+        self.pt_idx = jnp.asarray(pt_idx, jnp.int32)
+        self.pixels = jnp.asarray(pixels)
+        cameras = jnp.asarray(cameras)
+        if cameras.shape[0] == poses.lshape[0]:
+            cameras = cameras[self.cam_idx]
+        self.cameras = cameras
+        self.residual = reproj_residual_bal if residual is None else residual
+        self.strategy = TrustRegion() if strategy is None else strategy
+        self.kernel = kernel
+        self.min, self.max = min, max
+        self.reject = reject
+        self.cg_iter, self.cg_tol = cg_iter, cg_tol
+        self.fix_first_pose = fix_first_pose
+        self.C = poses.lshape[0]
+        self.P = self.points.shape[0]
+        self.strategy_state = None
+        self.loss = None
+        self.last = None
+        self.reject_count = 0
+        self._step_fn = None
+
+    # ------------------------------------------------------------------
+    def _r_jac(self, poses_data, points):
+        """Residuals + per-observation tangent Jacobians Jc [O,2,6],
+        Jp [O,2,3]."""
+        Tc = poses_data[self.cam_idx]
+        Xp = points[self.pt_idx]
+
+        def one(tc, xp, cam, pix):
+            def f(eps_c, eps_p):
+                pose = SE3(tc).add(eps_c)
+                return self.residual(pose, xp + eps_p, cam, pix)
+            z6 = jnp.zeros(6, dtype=tc.dtype)
+            z3 = jnp.zeros(3, dtype=tc.dtype)
+            r = f(z6, z3)
+            Jc, Jp = jax.jacrev(f, argnums=(0, 1))(z6, z3)
+            return r, Jc, Jp
+
+        return jax.vmap(one)(Tc, Xp, self.cameras, self.pixels)
+
+    def _robust_scale(self, r):
+        if self.kernel is None:
+            return jnp.ones((r.shape[0], 1), dtype=r.dtype)
+        chi = jnp.sum(r * r, -1, keepdims=True)
+        g1 = jax.grad(lambda v: jnp.sum(self.kernel(v)))(chi)
+        return jnp.sqrt(jnp.maximum(g1, 0.0))
+
+    def _chi2(self, poses_data, points):
+        Tc = SE3(poses_data[self.cam_idx])
+        Xp = points[self.pt_idx]
+        r = jax.vmap(self.residual)(Tc, Xp, self.cameras, self.pixels)
+        chi = jnp.sum(r * r, -1)
+        if self.kernel is not None:
+            chi = self.kernel(chi)
+        return jnp.sum(chi)
+
+    def _mask_cam(self, x):
+        if self.fix_first_pose:
+            return x.at[0].set(0.0)
+        return x
+
+    # ------------------------------------------------------------------
+    def _core(self, poses_data, points, strat_state):
+        r, Jc, Jp = self._r_jac(poses_data, points)
+        s = self._robust_scale(r)
+        r = s * r
+        Jc = s[..., None] * Jc
+        Jp = s[..., None] * Jp
+
+        ci, pi = self.cam_idx, self.pt_idx
+        C, P = self.C, self.P
+
+        # gradient blocks
+        bc = -jnp.zeros((C, 6), r.dtype).at[ci].add(
+            jnp.einsum('oda,od->oa', Jc, r))
+        bp = -jnp.zeros((P, 3), r.dtype).at[pi].add(
+            jnp.einsum('oda,od->oa', Jp, r))
+        bc = self._mask_cam(bc)
+
+        # block-diagonal Hessians
+        Hcc = jnp.zeros((C, 6, 6), r.dtype).at[ci].add(
+            jnp.einsum('oda,odb->oab', Jc, Jc))
+        Hpp = jnp.zeros((P, 3, 3), r.dtype).at[pi].add(
+            jnp.einsum('oda,odb->oab', Jp, Jp))
+        last = self._chi2(poses_data, points)
+
+        def damped(H, damping):
+            d = jnp.clip(jnp.diagonal(H, axis1=-2, axis2=-1),
+                         self.min, self.max) * (1.0 + damping)
+            eye = jnp.eye(H.shape[-1], dtype=H.dtype)
+            return H + (d - jnp.diagonal(H, axis1=-2, axis2=-1))[..., None] \
+                * eye
+
+        def solve(damping):
+            Hcc_d = damped(Hcc, damping)
+            Hpp_d = damped(Hpp, damping)
+            Hpp_inv = jnp.linalg.inv(Hpp_d)
+
+            # Schur rhs: bs = bc - Hcp Hpp^-1 bp
+            y = jnp.einsum('pab,pb->pa', Hpp_inv, bp)        # [P, 3]
+            JpY = jnp.einsum('oda,oa->od', Jp, y[pi])        # [O, 2]
+            bs = bc - self._mask_cam(
+                jnp.zeros((C, 6), r.dtype).at[ci].add(
+                    jnp.einsum('oda,od->oa', Jc, JpY)))
+
+            def Svp(x):
+                x = self._mask_cam(x)
+                # Hcc x (diag blocks + damping already inside Hcc_d)
+                hx = jnp.einsum('cab,cb->ca', Hcc_d, x)
+                # Hpc x accumulated at points
+                Jcx = jnp.einsum('oda,oa->od', Jc, x[ci])    # [O, 2]
+                w = jnp.zeros((P, 3), x.dtype).at[pi].add(
+                    jnp.einsum('oda,od->oa', Jp, Jcx))       # Hpc x
+                w = jnp.einsum('pab,pb->pa', Hpp_inv, w)     # Hpp^-1 Hpc x
+                JpW = jnp.einsum('oda,oa->od', Jp, w[pi])
+                hx = hx - jnp.zeros((C, 6), x.dtype).at[ci].add(
+                    jnp.einsum('oda,od->oa', Jc, JpW))
+                return self._mask_cam(hx)
+
+            Minv = jnp.linalg.inv(Hcc_d)
+
+            def M(x):
+                return self._mask_cam(
+                    jnp.einsum('cab,cb->ca', Minv, self._mask_cam(x)))
+
+            dc, _ = jax.scipy.sparse.linalg.cg(
+                Svp, bs, tol=self.cg_tol, maxiter=self.cg_iter, M=M)
+            dc = self._mask_cam(dc)
+            # back-substitute points: dp = Hpp^-1 (bp - Hpc dc)
+            Jcdc = jnp.einsum('oda,oa->od', Jc, dc[ci])
+            Hpcdc = jnp.zeros((P, 3), r.dtype).at[pi].add(
+                jnp.einsum('oda,od->oa', Jp, Jcdc))
+            dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc)
+            return dc, dp
+
+        def pred_reduction(dc, dp):
+            Jd = jnp.einsum('oda,oa->od', Jc, dc[ci]) + \
+                jnp.einsum('oda,oa->od', Jp, dp[pi])
+            return -jnp.sum(Jd * (2.0 * r + Jd))
+
+        def cond(state):
+            return ~state[-1]
+
+        def body(state):
+            T0, X0, loss, strat, count, _ = state
+            dc, dp = solve(strat['damping'])
+            flat = jnp.concatenate([dc.reshape(-1), dp.reshape(-1)])
+            bad = ~jnp.all(jnp.isfinite(flat))
+            dc = jnp.where(bad, 0.0, dc)
+            dp = jnp.where(bad, 0.0, dp)
+            T_new = SE3(T0).add(dc).tensor()
+            X_new = X0 + dp
+            loss_new = self._chi2(T_new, X_new)
+            pred = pred_reduction(dc, dp)
+            q = (last - loss_new) / jnp.where(pred == 0, 1e-31, pred)
+            strat_new = self._strategy_update(strat, q)
+            worse = last < loss_new
+            rejectable = worse & (count < self.reject) & ~bad
+            done = ~rejectable
+            take = done & ~bad
+            T_out = jnp.where(take, T_new, T0)
+            X_out = jnp.where(take, X_new, X0)
+            loss_out = jnp.where(take, loss_new, last)
+            return (T_out, X_out, loss_out, strat_new,
+                    count + rejectable.astype(count.dtype), done)
+
+        state0 = (poses_data, points, last, strat_state,
+                  jnp.asarray(0, jnp.int32), jnp.asarray(False))
+        T_f, X_f, loss_f, strat_f, count_f, _ = jax.lax.while_loop(
+            cond, body, state0)
+        return T_f, X_f, loss_f, last, strat_f, count_f
+
+    def _strategy_update(self, strat, quality):
+        s = self.strategy
+        if hasattr(s, 'down0'):  # TrustRegion
+            radius = 1.0 / strat['damping']
+            down = strat['down']
+            radius_new = jnp.where(
+                quality > s.high, s.up * radius,
+                jnp.where(quality > s.low, radius, radius * down))
+            down_new = jnp.where(quality > s.low,
+                                 jnp.asarray(s.down0, down.dtype),
+                                 down * s.factor)
+            return {'damping': 1.0 / jnp.clip(radius_new, s.min, s.max),
+                    'down': jnp.clip(down_new, s.min, s.max)}
+        if hasattr(s, 'up'):  # Adaptive
+            d = strat['damping']
+            d = jnp.where(quality > s.high, d * s.down,
+                          jnp.where(quality > s.low, d, d * s.up))
+            return {'damping': jnp.clip(d, s.min, s.max)}
+        return strat
+
+    def step(self):
+        if self.strategy_state is None:
+            self.strategy_state = self.strategy.init(self.points.dtype)
+        if self._step_fn is None:
+            self._step_fn = jax.jit(self._core)
+        T, X, loss, last, strat, count = self._step_fn(
+            self.poses.tensor(), self.points, self.strategy_state)
+        self.poses = SE3(T)
+        self.points = X
+        self.strategy_state = strat
+        self.reject_count = int(count)
+        self.last = float(last)
+        self.loss = float(loss)
+        return self.loss

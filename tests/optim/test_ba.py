@@ -1,0 +1,87 @@
+"""Bundle adjustment tests: Schur-complement LM on synthetic BAL problems.
+Workload parity: examples/module/ba/bundle_adjustment.py + the reference's
+sparse-LM doctest behavior (optimizer.py:603-626: toy BA loss decreasing).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import pypose_tpu as pp
+from pypose_tpu.datasets import synthetic_bal, load_bal
+from pypose_tpu.optim.ba import BundleAdjustment, reproj_residual_bal
+from pypose_tpu.optim.kernel import Huber
+
+
+def test_ba_converges():
+    ds = synthetic_bal(n_cams=8, n_points=150, seed=2)
+    ba = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                          ds['pt_idx'], ds['pixels'], ds['cameras'],
+                          fix_first_pose=True, cg_iter=40, cg_tol=1e-6)
+    first = None
+    for _ in range(6):
+        loss = ba.step()
+        if first is None:
+            first = ba.last
+    assert loss < first
+    err_p = (ba.poses.Inv() @ ds['gt_poses']).Log().tensor()
+    assert float(jnp.abs(err_p).mean()) < 0.02
+
+
+def test_ba_perfect_data_zero_residual():
+    ds = synthetic_bal(n_cams=6, n_points=100, pose_noise=(0.0, 0.0),
+                       point_noise=0.0, pixel_noise=0.0, seed=3)
+    ba = BundleAdjustment(ds['gt_poses'], ds['gt_points'], ds['cam_idx'],
+                          ds['pt_idx'], ds['pixels'], ds['cameras'])
+    loss = ba.step()
+    assert ba.last < 1e-4  # already at optimum
+    assert loss <= ba.last + 1e-6
+
+
+def test_ba_with_robust_kernel():
+    ds = synthetic_bal(n_cams=8, n_points=150, seed=4)
+    # inject outlier pixels
+    pixels = ds['pixels'].at[::50].add(100.0)
+    ba = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                          ds['pt_idx'], pixels, ds['cameras'],
+                          kernel=Huber(delta=5.0), fix_first_pose=True,
+                          cg_iter=40)
+    for _ in range(6):
+        loss = ba.step()
+    err_p = (ba.poses.Inv() @ ds['gt_poses']).Log().tensor()
+    assert float(jnp.abs(err_p).mean()) < 0.05
+
+
+def test_bal_residual_matches_projection():
+    ds = synthetic_bal(n_cams=4, n_points=50, pose_noise=(0.0, 0.0),
+                       point_noise=0.0, pixel_noise=0.0, seed=5)
+    r = jax.vmap(reproj_residual_bal)(
+        ds['gt_poses'][ds['cam_idx']], ds['gt_points'][ds['pt_idx']],
+        ds['cameras'][ds['cam_idx']], ds['pixels'])
+    np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-3)
+
+
+def test_load_bal_roundtrip(tmp_path):
+    """Write a tiny BAL file and parse it back."""
+    path = tmp_path / 'tiny.txt'
+    C, P, O = 2, 3, 4
+    lines = [f'{C} {P} {O}']
+    obs = [(0, 0, 1.0, 2.0), (0, 1, -1.0, 0.5), (1, 1, 3.0, -2.0),
+           (1, 2, 0.1, 0.2)]
+    for c, p, u, v in obs:
+        lines.append(f'{c} {p} {u} {v}')
+    cams = np.arange(18) * 0.01
+    lines += [str(x) for x in cams]
+    pts = np.arange(9) * 0.1
+    lines += [str(x) for x in pts]
+    path.write_text('\n'.join(lines))
+    ds = load_bal(str(path))
+    assert ds['poses'].lshape == (2,)
+    assert ds['points'].shape == (3, 3)
+    assert ds['pixels'].shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(ds['cameras'][0]),
+                               [0.06, 0.07, 0.08], atol=1e-6)
+    # quaternion from rodrigues
+    expect_q = pp.so3(jnp.asarray(cams[:3])).Exp().tensor()
+    np.testing.assert_allclose(np.asarray(ds['poses'].tensor()[0, 3:]),
+                               np.asarray(expect_q), atol=1e-6)
