@@ -25,7 +25,7 @@ from .lietensor import (
     identity_Sim3, identity_sim3, identity_RxSO3, identity_rxso3,
     SO3, so3, SE3, se3, Sim3, sim3, RxSO3, rxso3,
     Exp, Log, Inv, Mul, Retr, Act, Adj, AdjT, Jinvp, Jr,
-    vec2skew, add, add_, mul,
+    vec2skew, add, add_, mul, stack, cat, concat, split,
     tensor, translation, rotation, scale, matrix, euler, quat2unit,
     mat2SO3, mat2SE3, mat2Sim3, mat2RxSO3, from_matrix, euler2SO3,
 )

@@ -34,3 +34,45 @@ def mul(input, other):
     r"""Group multiplication / action / scalar mul.  Ref: basics.py:131-229."""
     assert isinstance(input, LieTensor), 'input must be a LieTensor'
     return input.mul(other)
+
+
+def _same_ltype(tensors):
+    lt = [t for t in tensors if isinstance(t, LieTensor)]
+    assert lt, 'At least one input must be a LieTensor'
+    ltype = lt[0].ltype
+    assert all(t.ltype is ltype for t in lt), 'ltype mismatch'
+    return ltype
+
+
+def stack(tensors, dim=0):
+    """Stack LieTensors along a new batch dim (the reference exposes this
+    through __torch_function__ whitelisting, lietensor.py:26-35)."""
+    ltype = _same_ltype(tensors)
+    data = jnp.stack([t.tensor() if isinstance(t, LieTensor)
+                      else jnp.asarray(t) for t in tensors], axis=dim)
+    return LieTensor(data, ltype=ltype)
+
+
+def cat(tensors, dim=0):
+    """Concatenate LieTensors along an existing batch dim."""
+    ltype = _same_ltype(tensors)
+    data = jnp.concatenate([t.tensor() if isinstance(t, LieTensor)
+                            else jnp.asarray(t) for t in tensors], axis=dim)
+    return LieTensor(data, ltype=ltype)
+
+
+concat = cat
+
+
+def split(tensor, split_size_or_sections, dim=0):
+    """Split a LieTensor along a batch dim."""
+    assert isinstance(tensor, LieTensor)
+    n = tensor.lshape[dim] if dim >= 0 else tensor.tensor().shape[dim]
+    if isinstance(split_size_or_sections, int):
+        idx = list(range(split_size_or_sections, n,
+                         split_size_or_sections))
+    else:
+        import numpy as _np
+        idx = list(_np.cumsum(split_size_or_sections)[:-1])
+    parts = jnp.split(tensor.tensor(), idx, axis=dim)
+    return tuple(LieTensor(p, ltype=tensor.ltype) for p in parts)

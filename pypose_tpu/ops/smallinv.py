@@ -1,0 +1,39 @@
+r"""Closed-form batched small-matrix inverses.
+
+XLA lowers ``jnp.linalg.inv`` of batched 3x3s to LU with pivoting — far
+slower than the adjugate form on TPU (pure VPU elementwise).  Used by the
+Schur-complement BA's Hpp elimination and block-Jacobi preconditioners.
+"""
+
+import jax.numpy as jnp
+
+
+def inv3x3(M, eps=0.0):
+    """Adjugate-based batched 3x3 inverse: (*, 3, 3) -> (*, 3, 3)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c * h)
+    E = a * i - c * g
+    F = -(a * h - b * g)
+    G = b * f - c * e
+    H = -(a * f - c * d)
+    I = a * e - b * d
+    det = a * A + b * B + c * C
+    det = jnp.where(jnp.abs(det) < 1e-36, 1e-36, det) if eps == 0.0 else \
+        det + eps
+    inv_det = 1.0 / det
+    adj = jnp.stack([
+        jnp.stack([A, D, G], axis=-1),
+        jnp.stack([B, E, H], axis=-1),
+        jnp.stack([C, F, I], axis=-1),
+    ], axis=-2)
+    return adj * inv_det[..., None, None]
+
+
+def solve3x3(M, b):
+    """Batched 3x3 solve via the adjugate inverse: (*, 3, 3), (*, 3)."""
+    return jnp.einsum('...ij,...j->...i', inv3x3(M), b)

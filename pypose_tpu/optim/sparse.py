@@ -87,6 +87,11 @@ class SparseLM:
         strategy: damping strategy (default TrustRegion).
     """
 
+    # transpose-accumulations use the gather-based incidence formulation
+    # (scatter-free) when the max node degree is below this; TPU scatters
+    # with duplicate indices serialize and dominate CG cost otherwise.
+    MAX_INCIDENCE_DEGREE = 64
+
     def __init__(self, params, factors, solver=None, strategy=None,
                  reject=16, min=1e-6, max=1e32, cg_iter=None, cg_tol=1e-5,
                  fixed=None):
@@ -106,6 +111,49 @@ class SparseLM:
         self.last = None
         self.reject_count = 0
         self._step_fn = None
+        self._build_incidence()
+
+    def _build_incidence(self):
+        """Static per-node incidence tables: for each (factor, group),
+        inc[n, d] = flattened (edge * arity + slot) position of the d-th
+        contribution hitting node n, plus a validity mask.  Turns every
+        J^T-side accumulation into gather + masked-sum (no scatter)."""
+        self._inc = {}
+        for fi, f in enumerate(self.factors):
+            for n, idx in f.indices.items():
+                idxn = np.asarray(idx)
+                N = int(np.prod(self.params[n].shape[:-1]))
+                flat = idxn.reshape(-1)
+                deg = np.bincount(flat, minlength=N)
+                D = int(deg.max()) if len(flat) else 0
+                if D > self.MAX_INCIDENCE_DEGREE:
+                    self._inc[(fi, n)] = None  # fall back to scatter
+                    continue
+                inc = np.zeros((N, max(D, 1)), dtype=np.int32)
+                mask = np.zeros((N, max(D, 1)), dtype=bool)
+                fill = np.zeros(N, dtype=np.int64)
+                for p, node in enumerate(flat):
+                    inc[node, fill[node]] = p
+                    mask[node, fill[node]] = True
+                    fill[node] += 1
+                self._inc[(fi, n)] = (jnp.asarray(inc), jnp.asarray(mask))
+
+    def _accumulate(self, fi, n, contrib):
+        """Sum per-(edge, slot) contributions into per-node rows.
+
+        contrib: [E, arity, ...] -> [N, ...]."""
+        tail = contrib.shape[2:]
+        flatc = contrib.reshape((-1,) + tail)
+        inc = self._inc.get((fi, n))
+        N = int(np.prod(self.params[n].shape[:-1]))
+        if inc is None:
+            out = jnp.zeros((N,) + tail, dtype=contrib.dtype)
+            idx = self.factors[fi].indices[n].reshape(-1)
+            return out.at[idx].add(flatc)
+        inc_idx, mask = inc
+        gathered = flatc[inc_idx]                      # [N, D, ...]
+        m = mask.reshape(mask.shape + (1,) * len(tail))
+        return jnp.sum(jnp.where(m, gathered, 0), axis=1)
 
     # ------------------------------------------------------------------
     # per-factor residuals + tangent Jacobian blocks
@@ -189,59 +237,45 @@ class SparseLM:
     def _matvec(self, blocks, x):
         """y = J^T W J x over the tangent pytree x (dict name -> [N, tan])."""
         out = {n: jnp.zeros_like(v) for n, v in x.items()}
-        for f, (r, J, WR, WJ) in zip(self.factors, blocks):
+        for fi, (f, (r, J, WR, WJ)) in enumerate(zip(self.factors, blocks)):
             Jx = 0.0
             for n in f.indices:
                 xg = jnp.take(self._mask(n, x[n]), f.indices[n], axis=0)
                 Jx = Jx + jnp.einsum('edat,eat->ed', J[n], xg)
             for n in f.indices:
                 contrib = jnp.einsum('edat,ed->eat', WJ[n], Jx)
-                idx = f.indices[n].reshape(-1)
-                out[n] = out[n].at[idx].add(
-                    contrib.reshape(-1, contrib.shape[-1]))
+                out[n] = out[n] + self._accumulate(fi, n, contrib)
         return {n: self._mask(n, v) for n, v in out.items()}
 
     def _rhs(self, blocks):
         """b = -J^T W r."""
         out = {}
-        for f, (r, J, WR, WJ) in zip(self.factors, blocks):
+        for fi, (f, (r, J, WR, WJ)) in enumerate(zip(self.factors, blocks)):
             for n in f.indices:
                 contrib = jnp.einsum('edat,ed->eat', WJ[n], r)
-                idx = f.indices[n].reshape(-1)
-                if n not in out:
-                    out[n] = jnp.zeros(
-                        (self.params[n].shape[0], contrib.shape[-1]),
-                        dtype=contrib.dtype)
-                out[n] = out[n].at[idx].add(
-                    -contrib.reshape(-1, contrib.shape[-1]))
+                acc = -self._accumulate(fi, n, contrib)
+                out[n] = acc if n not in out else out[n] + acc
         return {n: self._mask(n, v) for n, v in out.items()}
 
     def _diag(self, blocks):
         """diag(J^T W J) per tangent coordinate (for LM damping)."""
         out = {}
-        for f, (r, J, WR, WJ) in zip(self.factors, blocks):
+        for fi, (f, (r, J, WR, WJ)) in enumerate(zip(self.factors, blocks)):
             for n in f.indices:
                 d = jnp.sum(J[n] * WJ[n], axis=1)  # [E, arity, tan]
-                idx = f.indices[n].reshape(-1)
-                if n not in out:
-                    out[n] = jnp.zeros(
-                        (self.params[n].shape[0], d.shape[-1]),
-                        dtype=d.dtype)
-                out[n] = out[n].at[idx].add(d.reshape(-1, d.shape[-1]))
+                acc = self._accumulate(fi, n, d)
+                out[n] = acc if n not in out else out[n] + acc
         return out
 
     def _block_jacobi(self, blocks, damped_scale):
         """Per-node tan x tan blocks of J^T W J (+ LM damping), inverted."""
         inv = {}
-        for f, (r, J, WJ_r, WJ) in zip(self.factors, blocks):
+        for fi, (f, (r, J, WJ_r, WJ)) in enumerate(zip(self.factors,
+                                                       blocks)):
             for n in f.indices:
                 B = jnp.einsum('edat,edau->eatu', WJ[n], J[n])
-                idx = f.indices[n].reshape(-1)
-                t = B.shape[-1]
-                if n not in inv:
-                    inv[n] = jnp.zeros(
-                        (self.params[n].shape[0], t, t), dtype=B.dtype)
-                inv[n] = inv[n].at[idx].add(B.reshape(-1, t, t))
+                acc = self._accumulate(fi, n, B)
+                inv[n] = acc if n not in inv else inv[n] + acc
         out = {}
         for n, B in inv.items():
             # replace the diagonal by its clamped + LM-damped value (same
