@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from ..lietensor.lietensor import LieTensor
 from ..lietensor.utils import SE3
 from .strategy import TrustRegion
+from ..ops.smallinv import inv3x3, inv6x6
 
 
 def reproj_residual_bal(pose, point, camera, pixel):
@@ -165,7 +166,7 @@ class BundleAdjustment:
         def solve(damping):
             Hcc_d = damped(Hcc, damping)
             Hpp_d = damped(Hpp, damping)
-            Hpp_inv = jnp.linalg.inv(Hpp_d)
+            Hpp_inv = inv3x3(Hpp_d)
 
             # Schur rhs: bs = bc - Hcp Hpp^-1 bp
             y = jnp.einsum('pab,pb->pa', Hpp_inv, bp)        # [P, 3]
@@ -188,7 +189,7 @@ class BundleAdjustment:
                     jnp.einsum('oda,od->oa', Jc, JpW))
                 return self._mask_cam(hx)
 
-            Minv = jnp.linalg.inv(Hcc_d)
+            Minv = inv6x6(Hcc_d)
 
             def M(x):
                 return self._mask_cam(
