@@ -30,6 +30,8 @@ from .lietensor import (
     mat2SO3, mat2SE3, mat2Sim3, mat2RxSO3, from_matrix, euler2SO3,
 )
 from .basics import pm, cumops, cummul, cumprod, cumops_, cummul_, cumprod_
+from .module.loss import geodesic_loss
+from .sparse import bsr_bsc_matmul, bsr_matvec, dense_to_bsr, dense_to_bsc
 from .function import (
     cart2homo, homo2cart, point2pixel, pixel2point, reprojerr, knn, svdtf,
     svdstf, nbr_filter, random_filter, voxel_filter, knn_filter,

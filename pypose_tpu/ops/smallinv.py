@@ -5,7 +5,14 @@ slower than the adjugate form on TPU (pure VPU elementwise).  Used by the
 Schur-complement BA's Hpp elimination and block-Jacobi preconditioners.
 """
 
+import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.einsum('...ij,...jk->...ik', a, b, precision=_HI)
 
 
 def inv3x3(M, eps=0.0):
@@ -36,7 +43,7 @@ def inv3x3(M, eps=0.0):
 
 def solve3x3(M, b):
     """Batched 3x3 solve via the adjugate inverse: (*, 3, 3), (*, 3)."""
-    return jnp.einsum('...ij,...j->...i', inv3x3(M), b)
+    return jnp.einsum('...ij,...j->...i', inv3x3(M), b, precision=_HI)
 
 
 def inv6x6(M):
@@ -51,12 +58,12 @@ def inv6x6(M):
     C = M[..., 3:, :3]
     D = M[..., 3:, 3:]
     Ai = inv3x3(A)
-    AiB = Ai @ B
-    CAi = C @ Ai
-    S = D - C @ AiB
+    AiB = _mm(Ai, B)
+    CAi = _mm(C, Ai)
+    S = D - _mm(C, AiB)
     Si = inv3x3(S)
-    top = jnp.concatenate([Ai + AiB @ Si @ CAi, -AiB @ Si], axis=-1)
-    bot = jnp.concatenate([-Si @ CAi, Si], axis=-1)
+    top = jnp.concatenate([Ai + _mm(_mm(AiB, Si), CAi), -_mm(AiB, Si)], axis=-1)
+    bot = jnp.concatenate([-_mm(Si, CAi), Si], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 
 

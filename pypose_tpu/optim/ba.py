@@ -23,6 +23,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST
+
 from ..lietensor.lietensor import LieTensor
 from ..lietensor.utils import SE3
 from .strategy import TrustRegion
@@ -144,16 +146,16 @@ class BundleAdjustment:
 
         # gradient blocks
         bc = -jnp.zeros((C, 6), r.dtype).at[ci].add(
-            jnp.einsum('oda,od->oa', Jc, r))
+            jnp.einsum('oda,od->oa', Jc, r, precision=_HI))
         bp = -jnp.zeros((P, 3), r.dtype).at[pi].add(
-            jnp.einsum('oda,od->oa', Jp, r))
+            jnp.einsum('oda,od->oa', Jp, r, precision=_HI))
         bc = self._mask_cam(bc)
 
         # block-diagonal Hessians
         Hcc = jnp.zeros((C, 6, 6), r.dtype).at[ci].add(
-            jnp.einsum('oda,odb->oab', Jc, Jc))
+            jnp.einsum('oda,odb->oab', Jc, Jc, precision=_HI))
         Hpp = jnp.zeros((P, 3, 3), r.dtype).at[pi].add(
-            jnp.einsum('oda,odb->oab', Jp, Jp))
+            jnp.einsum('oda,odb->oab', Jp, Jp, precision=_HI))
         last = self._chi2(poses_data, points)
 
         def damped(H, damping):
@@ -169,45 +171,46 @@ class BundleAdjustment:
             Hpp_inv = inv3x3(Hpp_d)
 
             # Schur rhs: bs = bc - Hcp Hpp^-1 bp
-            y = jnp.einsum('pab,pb->pa', Hpp_inv, bp)        # [P, 3]
-            JpY = jnp.einsum('oda,oa->od', Jp, y[pi])        # [O, 2]
+            y = jnp.einsum('pab,pb->pa', Hpp_inv, bp, precision=_HI)        # [P, 3]
+            JpY = jnp.einsum('oda,oa->od', Jp, y[pi], precision=_HI)        # [O, 2]
             bs = bc - self._mask_cam(
                 jnp.zeros((C, 6), r.dtype).at[ci].add(
-                    jnp.einsum('oda,od->oa', Jc, JpY)))
+                    jnp.einsum('oda,od->oa', Jc, JpY, precision=_HI)))
 
             def Svp(x):
                 x = self._mask_cam(x)
                 # Hcc x (diag blocks + damping already inside Hcc_d)
-                hx = jnp.einsum('cab,cb->ca', Hcc_d, x)
+                hx = jnp.einsum('cab,cb->ca', Hcc_d, x, precision=_HI)
                 # Hpc x accumulated at points
-                Jcx = jnp.einsum('oda,oa->od', Jc, x[ci])    # [O, 2]
+                Jcx = jnp.einsum('oda,oa->od', Jc, x[ci], precision=_HI)    # [O, 2]
                 w = jnp.zeros((P, 3), x.dtype).at[pi].add(
-                    jnp.einsum('oda,od->oa', Jp, Jcx))       # Hpc x
-                w = jnp.einsum('pab,pb->pa', Hpp_inv, w)     # Hpp^-1 Hpc x
-                JpW = jnp.einsum('oda,oa->od', Jp, w[pi])
+                    jnp.einsum('oda,od->oa', Jp, Jcx, precision=_HI))       # Hpc x
+                w = jnp.einsum('pab,pb->pa', Hpp_inv, w, precision=_HI)     # Hpp^-1 Hpc x
+                JpW = jnp.einsum('oda,oa->od', Jp, w[pi], precision=_HI)
                 hx = hx - jnp.zeros((C, 6), x.dtype).at[ci].add(
-                    jnp.einsum('oda,od->oa', Jc, JpW))
+                    jnp.einsum('oda,od->oa', Jc, JpW, precision=_HI))
                 return self._mask_cam(hx)
 
             Minv = inv6x6(Hcc_d)
 
             def M(x):
                 return self._mask_cam(
-                    jnp.einsum('cab,cb->ca', Minv, self._mask_cam(x)))
+                    jnp.einsum('cab,cb->ca', Minv, self._mask_cam(x),
+                               precision=_HI))
 
             dc, _ = jax.scipy.sparse.linalg.cg(
                 Svp, bs, tol=self.cg_tol, maxiter=self.cg_iter, M=M)
             dc = self._mask_cam(dc)
             # back-substitute points: dp = Hpp^-1 (bp - Hpc dc)
-            Jcdc = jnp.einsum('oda,oa->od', Jc, dc[ci])
+            Jcdc = jnp.einsum('oda,oa->od', Jc, dc[ci], precision=_HI)
             Hpcdc = jnp.zeros((P, 3), r.dtype).at[pi].add(
-                jnp.einsum('oda,od->oa', Jp, Jcdc))
-            dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc)
+                jnp.einsum('oda,od->oa', Jp, Jcdc, precision=_HI))
+            dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc, precision=_HI)
             return dc, dp
 
         def pred_reduction(dc, dp):
-            Jd = jnp.einsum('oda,oa->od', Jc, dc[ci]) + \
-                jnp.einsum('oda,oa->od', Jp, dp[pi])
+            Jd = jnp.einsum('oda,oa->od', Jc, dc[ci], precision=_HI) + \
+                jnp.einsum('oda,oa->od', Jp, dp[pi], precision=_HI)
             return -jnp.sum(Jd * (2.0 * r + Jd))
 
         def cond(state):

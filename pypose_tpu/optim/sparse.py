@@ -29,6 +29,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST
+
 from ..lietensor.lietensor import LieTensor
 from .corrector import Trivial
 from .strategy import TrustRegion
@@ -195,7 +197,7 @@ class SparseLM:
             if w.ndim == 2:
                 w = jnp.broadcast_to(w, (r.shape[0],) + w.shape)
         if factor.kernel is not None:
-            chi = jnp.sum(r * (jnp.einsum('eij,ej->ei', w, r)
+            chi = jnp.sum(r * (jnp.einsum('eij,ej->ei', w, r, precision=_HI)
                                if w is not None else r), -1, keepdims=True)
             g1 = jax.grad(lambda v: jnp.sum(factor.kernel(v)))(chi)
             s = jnp.sqrt(jnp.maximum(g1, 0.0))
@@ -203,8 +205,8 @@ class SparseLM:
             J = {n: s[..., None, None] * j for n, j in J.items()}
         if w is None:
             return r, J, r, J
-        WR = jnp.einsum('eij,ej->ei', w, r)
-        WJ = {n: jnp.einsum('eij,ejat->eiat', w, j) for n, j in J.items()}
+        WR = jnp.einsum('eij,ej->ei', w, r, precision=_HI)
+        WJ = {n: jnp.einsum('eij,ejat->eiat', w, j, precision=_HI) for n, j in J.items()}
         return r, J, WR, WJ
 
     def _chi2(self, params):
@@ -217,7 +219,7 @@ class SparseLM:
                 w = jnp.asarray(w)
                 if w.ndim == 2:
                     w = jnp.broadcast_to(w, (r.shape[0],) + w.shape)
-                chi = jnp.sum(r * jnp.einsum('eij,ej->ei', w, r), -1)
+                chi = jnp.sum(r * jnp.einsum('eij,ej->ei', w, r, precision=_HI), -1)
             else:
                 chi = jnp.sum(r * r, -1)
             if f.kernel is not None:
@@ -248,12 +250,13 @@ class SparseLM:
                 xg = jnp.take(self._mask(n, x[n]), f.indices[n], axis=0)
                 E, A, T = xg.shape
                 Jm = J[n].reshape(E, -1, A * T)
-                Jx = Jx + jnp.einsum('eij,ej->ei', Jm, xg.reshape(E, A * T))
+                Jx = Jx + jnp.einsum('eij,ej->ei', Jm, xg.reshape(E, A * T),
+                                     precision=_HI)
             for n in f.indices:
                 E = Jx.shape[0]
                 A = f.indices[n].shape[1]
                 WJm = WJ[n].reshape(E, Jx.shape[1], -1)
-                contrib = jnp.einsum('eij,ei->ej', WJm, Jx).reshape(
+                contrib = jnp.einsum('eij,ei->ej', WJm, Jx, precision=_HI).reshape(
                     E, A, -1)
                 out[n] = out[n] + self._accumulate(fi, n, contrib)
         return {n: self._mask(n, v) for n, v in out.items()}
@@ -263,7 +266,7 @@ class SparseLM:
         out = {}
         for fi, (f, (r, J, WR, WJ)) in enumerate(zip(self.factors, blocks)):
             for n in f.indices:
-                contrib = jnp.einsum('edat,ed->eat', WJ[n], r)
+                contrib = jnp.einsum('edat,ed->eat', WJ[n], r, precision=_HI)
                 acc = -self._accumulate(fi, n, contrib)
                 out[n] = acc if n not in out else out[n] + acc
         return {n: self._mask(n, v) for n, v in out.items()}
@@ -284,7 +287,7 @@ class SparseLM:
         for fi, (f, (r, J, WJ_r, WJ)) in enumerate(zip(self.factors,
                                                        blocks)):
             for n in f.indices:
-                B = jnp.einsum('edat,edau->eatu', WJ[n], J[n])
+                B = jnp.einsum('edat,edau->eatu', WJ[n], J[n], precision=_HI)
                 acc = self._accumulate(fi, n, B)
                 inv[n] = acc if n not in inv else inv[n] + acc
         out = {}
@@ -327,7 +330,7 @@ class SparseLM:
                 blocks, {n: 1.0 + damping for n in diagA})
 
             def M(x):
-                return {n: jnp.einsum('ntu,nu->nt', Binv[n], x[n])
+                return {n: jnp.einsum('ntu,nu->nt', Binv[n], x[n], precision=_HI)
                         for n in x}
 
             x, _ = jax.scipy.sparse.linalg.cg(
@@ -355,7 +358,7 @@ class SparseLM:
                 for n in f.indices:
                     xg = jnp.take(self._mask(n, delta[n]), f.indices[n],
                                   axis=0)
-                    Jd = Jd + jnp.einsum('edat,eat->ed', J[n], xg)
+                    Jd = Jd + jnp.einsum('edat,eat->ed', J[n], xg, precision=_HI)
                 WJd = jnp.einsum('eij,ej->ei', jnp.broadcast_to(
                     jnp.asarray(f.weight), (r.shape[0],) + (r.shape[-1],) * 2
                 ), Jd) if f.weight is not None else Jd
@@ -430,6 +433,52 @@ class SparseLM:
         self.reject_count = int(count)
         self.last = float(last)
         self.loss = float(loss)
+        return self.loss
+
+
+    def optimize(self, steps=10, patience=5, decreasing=1e-3):
+        """Run up to ``steps`` LM iterations fully on device: the outer
+        StopOnPlateau loop (scheduler.py:64-160 semantics: patience on
+        relative decrease, stop on rejection) is a ``lax.while_loop`` around
+        ``_core``, so no host sync happens until the end.  Returns the final
+        chi2; per-step losses land in ``self.history``."""
+        if self.strategy_state is None:
+            dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
+            self.strategy_state = self.strategy.init(dtype)
+
+        def run(params, strat):
+            hist0 = jnp.full((steps,), jnp.nan, dtype=jnp.float32)
+
+            def cond(st):
+                return (~st[-1]) & (st[4] < steps)
+
+            def body(st):
+                p, strat_s, last_loss, hist, i, pat, _ = st
+                p2, loss, last, strat2, count = self._core(p, strat_s)
+                hist = hist.at[i].set(loss.astype(jnp.float32))
+                pat2 = jnp.where(last - loss < decreasing, pat + 1,
+                                 jnp.zeros_like(pat))
+                stop = (pat2 >= patience) | (count > 0)
+                return (p2, strat2, loss, hist, i + 1, pat2, stop)
+
+            init = (params, strat, jnp.asarray(jnp.inf, jnp.float32),
+                    hist0, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(False))
+            p, strat_f, loss, hist, nsteps, _, _ = jax.lax.while_loop(
+                cond, body, init)
+            return p, strat_f, loss, hist, nsteps
+
+        key = ('optimize', steps, patience, decreasing)
+        if key not in getattr(self, '_opt_cache', {}):
+            if not hasattr(self, '_opt_cache'):
+                self._opt_cache = {}
+            self._opt_cache[key] = jax.jit(run)
+        p, strat, loss, hist, nsteps = self._opt_cache[key](
+            self.params, self.strategy_state)
+        self.params = p
+        self.strategy_state = strat
+        self.loss = float(loss)
+        self.history = [float(h) for h in np.asarray(hist)[:int(nsteps)]]
         return self.loss
 
 

@@ -14,6 +14,8 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+_HI = jax.lax.Precision.HIGHEST
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..lietensor.lietensor import LieTensor
@@ -83,7 +85,7 @@ def make_pgo_step(n_nodes, damping=1e-4, cg_iter=50, cg_tol=1e-6):
         idx = edges.reshape(-1)
 
         # rhs, gauge-fix node 0
-        contrib = jnp.einsum('edat,ed->eat', J, r)
+        contrib = jnp.einsum('edat,ed->eat', J, r, precision=_HI)
         b = -jnp.zeros((N, 6), dtype=r.dtype).at[idx].add(
             contrib.reshape(-1, 6))
         b = b.at[0].set(0.0)
@@ -95,8 +97,8 @@ def make_pgo_step(n_nodes, damping=1e-4, cg_iter=50, cg_tol=1e-6):
         def Avp(x):
             x = x.at[0].set(0.0)
             xg = x[edges]
-            Jx = jnp.einsum('edat,eat->ed', J, xg)
-            contrib = jnp.einsum('edat,ed->eat', J, Jx)
+            Jx = jnp.einsum('edat,eat->ed', J, xg, precision=_HI)
+            contrib = jnp.einsum('edat,ed->eat', J, Jx, precision=_HI)
             y = jnp.zeros((N, 6), dtype=x.dtype).at[idx].add(
                 contrib.reshape(-1, 6))
             y = y + damping * diag * x
