@@ -14,6 +14,15 @@ functions are pure, shape-polymorphic over leading batch dims, and safe to
 import jax
 import jax.numpy as jnp
 
+# TPU MXU defaults f32 matmuls to a single bf16 pass; every matrix product
+# here feeds AD rules or Jacobian assembly, so force full f32 precision
+# (negligible cost at 3x3..7x7).
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_HI)
+
 __all__ = [
     'vec2skew', 'so3_Jl', 'so3_Jl_inv', 'so3_Jr', 'so3_adj', 'calcQ',
     'se3_Jl', 'se3_Jl_inv', 'se3_adj', 'rxso3_Ws', 'rxso3_Jl', 'rxso3_Jl_inv',
@@ -140,7 +149,7 @@ def so3_Jl(x):
     theta, _ = _theta(x)
     A = cosc(theta)[..., None]
     B = sinc3(theta)[..., None]
-    return _eye(x, 3) + A * K + B * (K @ K)
+    return _eye(x, 3) + A * K + B * _mm(K, K)
 
 
 def so3_Jl_inv(x):
@@ -148,7 +157,7 @@ def so3_Jl_inv(x):
     K = vec2skew(x)
     theta, _ = _theta(x)
     C = coef_Jl_inv(theta)[..., None]
-    return _eye(x, 3) - 0.5 * K + C * (K @ K)
+    return _eye(x, 3) - 0.5 * K + C * _mm(K, K)
 
 
 def so3_Jr(x):
@@ -172,11 +181,11 @@ def calcQ(x):
     c1 = sinc3(theta)[..., None]
     c2 = coefQ2(theta)[..., None]
     c3 = coefQ3(theta)[..., None]
-    PT, TP = Phi @ Tau, Tau @ Phi
-    PTP = PT @ Phi
+    PT, TP = _mm(Phi, Tau), _mm(Tau, Phi)
+    PTP = _mm(PT, Phi)
     return (0.5 * Tau + c1 * (PT + TP + PTP)
-            + c2 * (Phi @ PT + TP @ Phi - 3.0 * PTP)
-            + c3 * (PTP @ Phi + Phi @ PTP))
+            + c2 * (_mm(Phi, PT) + _mm(TP, Phi) - 3.0 * PTP)
+            + c3 * (_mm(PTP, Phi) + _mm(Phi, PTP)))
 
 
 def se3_Jl(x):
@@ -194,7 +203,7 @@ def se3_Jl_inv(x):
     Ji = so3_Jl_inv(x[..., 3:6])
     Q = calcQ(x)
     Z = jnp.zeros_like(Ji)
-    top = jnp.concatenate([Ji, -Ji @ Q @ Ji], axis=-1)
+    top = jnp.concatenate([Ji, -_mm(_mm(Ji, Q), Ji)], axis=-1)
     bot = jnp.concatenate([Z, Ji], axis=-1)
     return jnp.concatenate([top, bot], axis=-2)
 
@@ -297,7 +306,7 @@ def rxso3_Ws(x):
     A = A[..., None, None]
     B = B[..., None, None]
     Cm = C[..., None, None]
-    return A * K + B * (K @ K) + Cm * _eye(phi, 3)
+    return A * K + B * _mm(K, K) + Cm * _eye(phi, 3)
 
 
 def rxso3_Jl(x):
@@ -337,17 +346,18 @@ def sim3_adj(x):
 def sim3_Jl(x):
     """Truncated-series 7x7 left Jacobian of Sim(3).  Ref: operation.py:159-164."""
     Xi = sim3_adj(x)
-    Xi2 = Xi @ Xi
-    Xi4 = Xi2 @ Xi2
+    Xi2 = _mm(Xi, Xi)
+    Xi4 = _mm(Xi2, Xi2)
     I7 = _eye(x, 7)
-    return (I7 + (1.0 / 2.0) * Xi + (1.0 / 6.0) * Xi2 + (1.0 / 24.0) * Xi @ Xi2
-            + (1.0 / 120.0) * Xi4 + (1.0 / 720.0) * Xi @ Xi4)
+    return (I7 + (1.0 / 2.0) * Xi + (1.0 / 6.0) * Xi2
+            + (1.0 / 24.0) * _mm(Xi, Xi2) + (1.0 / 120.0) * Xi4
+            + (1.0 / 720.0) * _mm(Xi, Xi4))
 
 
 def sim3_Jl_inv(x):
     """Truncated-series inverse left Jacobian of Sim(3).  Ref: operation.py:167-172."""
     Xi = sim3_adj(x)
-    Xi2 = Xi @ Xi
-    Xi4 = Xi2 @ Xi2
+    Xi2 = _mm(Xi, Xi)
+    Xi4 = _mm(Xi2, Xi2)
     I7 = _eye(x, 7)
     return I7 - (1.0 / 2.0) * Xi + (1.0 / 12.0) * Xi2 - (1.0 / 720.0) * Xi4

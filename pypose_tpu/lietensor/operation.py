@@ -46,13 +46,17 @@ from .jacobian import (
 )
 
 
+_HI = jax.lax.Precision.HIGHEST
+
+
 def _mv(M, v):
-    """Batched matrix-vector product with full broadcasting."""
-    return jnp.einsum('...ij,...j->...i', M, v)
+    """Batched matrix-vector product with full broadcasting (full f32
+    precision: these feed every analytic AD rule)."""
+    return jnp.einsum('...ij,...j->...i', M, v, precision=_HI)
 
 
 def _vm(v, M):
-    return jnp.einsum('...i,...ij->...j', v, M)
+    return jnp.einsum('...i,...ij->...j', v, M, precision=_HI)
 
 
 def _pad(tan, out):
@@ -134,7 +138,7 @@ def SO3_Act4_Jacobian(p):
 def SE3_Adj(X):
     t, q = X[..., :3], X[..., 3:7]
     R = SO3_Adj(q)
-    tR = vec2skew(t) @ R
+    tR = jnp.matmul(vec2skew(t), R, precision=_HI)
     Z = jnp.zeros_like(R)
     top = jnp.concatenate([R, tR], axis=-1)
     bot = jnp.concatenate([Z, R], axis=-1)
@@ -196,7 +200,7 @@ def Sim3_Adj(X):
     R = RxSO3_Rotation(X[..., 3:])
     tx = vec2skew(X[..., :3])
     Adj = Adj.at[..., :3, :3].set(RxSO3_Matrix(X[..., 3:]))
-    Adj = Adj.at[..., :3, 3:6].set(tx @ R)
+    Adj = Adj.at[..., :3, 3:6].set(jnp.matmul(tx, R, precision=_HI))
     Adj = Adj.at[..., :3, 6].set(-X[..., :3])
     return Adj.at[..., 3:6, 3:6].set(R)
 

@@ -17,6 +17,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_HI = jax.lax.Precision.HIGHEST
+
 from ..lietensor.lietensor import LieTensor
 from ..nn import functional_call
 from .corrector import Trivial, FastTriggs
@@ -118,9 +120,10 @@ def _apply_weight(weight, R_list, J_list):
             w = w.reshape(w.shape + (1, 1))
         wb = jnp.broadcast_to(w, r.shape[:-1] + (d, d)).reshape(-1, d, d)
         rb = r.reshape(-1, d)
-        WR.append(jnp.einsum('nij,nj->ni', wb, rb).reshape(-1))
-        WJ.append(jnp.einsum('nij,njk->nik', wb,
-                             Jr.reshape(-1, d, P)).reshape(-1, P))
+        WR.append(jnp.einsum('nij,nj->ni', wb, rb,
+                             precision=_HI).reshape(-1))
+        WJ.append(jnp.einsum('nij,njk->nik', wb, Jr.reshape(-1, d, P),
+                             precision=_HI).reshape(-1, P))
     return jnp.concatenate(WR), jnp.concatenate(WJ, axis=0)
 
 
@@ -250,11 +253,11 @@ class LevenbergMarquardt(_Optimizer):
         R_flat = jnp.concatenate([r.reshape(-1) for r in R])
         J_flat = jnp.concatenate(J, axis=0)
         if weight is None:
-            JT_W_R = J_flat.T @ R_flat
-            A = J_flat.T @ J_flat
+            JT_W_R = jnp.matmul(J_flat.T, R_flat, precision=_HI)
+            A = jnp.matmul(J_flat.T, J_flat, precision=_HI)
         else:
-            JT_W_R = J_flat.T @ WR
-            A = J_flat.T @ WJ
+            JT_W_R = jnp.matmul(J_flat.T, WR, precision=_HI)
+            A = jnp.matmul(J_flat.T, WJ, precision=_HI)
         diagA = jnp.clip(jnp.diagonal(A), self.min, self.max)
         A = A - jnp.diag(jnp.diagonal(A)) + jnp.diag(diagA)
         b = -JT_W_R.reshape(-1, 1)
