@@ -110,9 +110,38 @@ def bench_pgo_sphere2500():
     return elapsed, chi2
 
 
+def bench_ba():
+    """Secondary: Schur-complement BA on a synthetic BAL-style problem."""
+    from pypose_tpu.datasets import synthetic_bal
+    from pypose_tpu.optim.ba import BundleAdjustment
+
+    ds = synthetic_bal(n_cams=64, n_points=8000, obs_per_point=6)
+    O = ds['pixels'].shape[0]
+    ba = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                          ds['pt_idx'], ds['pixels'], ds['cameras'],
+                          fix_first_pose=True, cg_iter=40, cg_tol=1e-6)
+    loss = ba.step()  # compile
+    t0 = time.perf_counter()
+    steps = 0
+    prev = float('inf')
+    while steps < 10 and prev - loss > 1e-3 * max(1.0, loss):
+        prev = loss
+        loss = ba.step()
+        steps += 1
+    dt = time.perf_counter() - t0
+    log(f'[ba] {ds["poses"].lshape[0]} cams, {ds["points"].shape[0]} pts, '
+        f'{O} obs: {steps} warm steps in {dt:.3f}s '
+        f'({dt/max(steps,1)*1e3:.1f} ms/step), chi2 {loss:.4e}, '
+        f'reproj RMSE {jnp.sqrt(loss/O):.4f} px')
+
+
 def main():
     log('devices:', jax.devices())
     ops_per_sec = microbench_lieops()
+    try:
+        bench_ba()
+    except Exception as e:  # secondary metric must not kill the headline
+        log('[ba] failed:', e)
     elapsed, chi2 = bench_pgo_sphere2500()
     baseline = 5.0  # seconds (BASELINE.json: sphere2500 to ref chi2 < 5 s)
     print(json.dumps({
