@@ -18,9 +18,30 @@ from .lietensor.convert import euler2SO3
 def load_g2o(path, dtype=jnp.float32):
     """Parse a g2o file with VERTEX_SE3:QUAT / EDGE_SE3:QUAT records.
 
-    Returns dict(nodes=SE3[N], edges=int[E,2], poses=SE3[E] relative
-    measurements, infos=float[E,6,6] information matrices).
+    Uses the native C++ tokenizer (pypose_tpu.native) when available
+    (~20x faster on large graphs), with a pure-Python fallback.  Returns
+    dict(nodes=SE3[N], edges=int[E,2], poses=SE3[E] relative measurements,
+    infos=float[E,6,6] information matrices).
     """
+    from . import native
+    parsed = native.parse_g2o(path)
+    if parsed is not None:
+        vids_a, verts_a, edges_a, meas_a, infos_u = parsed
+        order = np.argsort(vids_a)
+        nodes = verts_a[order]
+        sorted_ids = vids_a[order]
+        edges = np.searchsorted(sorted_ids, edges_a) \
+            if len(edges_a) else edges_a
+        iu = np.triu_indices(6)
+        infos = np.zeros((len(infos_u), 6, 6))
+        infos[:, iu[0], iu[1]] = infos_u
+        infos = infos + np.triu(infos, 1).transpose(0, 2, 1)
+        return dict(
+            nodes=SE3(jnp.asarray(nodes, dtype)),
+            edges=jnp.asarray(edges, jnp.int32),
+            poses=SE3(jnp.asarray(meas_a, dtype)),
+            infos=jnp.asarray(infos, dtype),
+        )
     verts, vids = [], []
     eii, ejj, emeas, einfo = [], [], [], []
     with open(path) as f:
@@ -60,9 +81,22 @@ def load_bal(path, dtype=jnp.float32):
     Format: header ``n_cams n_points n_obs``; per-obs ``cam pt u v``;
     then per-camera 9 params (Rodrigues(3), t(3), f, k1, k2); per-point 3.
     Returns dict(poses=SE3[C], points=[P,3], cam_idx, pt_idx, pixels,
-    cameras=[C,3] (f,k1,k2)).  Workload parity:
-    examples/module/ba/bundle_adjustment.py:49-60.
+    cameras=[C,3] (f,k1,k2)).  Uses the native C++ tokenizer when
+    available.  Workload parity: examples/module/ba/bundle_adjustment.py:49-60.
     """
+    from . import native
+    parsed = native.parse_bal(path)
+    if parsed is not None:
+        cam_idx, pt_idx, pixels, cams, points = parsed
+        from .lietensor.utils import so3
+        q = so3(jnp.asarray(cams[:, :3], dtype)).Exp().tensor()
+        poses = SE3(jnp.concatenate(
+            [jnp.asarray(cams[:, 3:6], dtype), q], axis=-1))
+        return dict(poses=poses, points=jnp.asarray(points, dtype),
+                    cam_idx=jnp.asarray(cam_idx, jnp.int32),
+                    pt_idx=jnp.asarray(pt_idx, jnp.int32),
+                    pixels=jnp.asarray(pixels, dtype),
+                    cameras=jnp.asarray(cams[:, 6:9], dtype))
     with open(path) as f:
         tokens = f.read().split()
     it = iter(tokens)

@@ -1,0 +1,87 @@
+"""Native C++ loader vs pure-Python fallback equivalence."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import pypose_tpu as pp
+from pypose_tpu import native
+from pypose_tpu.datasets import load_g2o, load_bal, synthetic_sphere
+
+
+@pytest.fixture
+def g2o_file(tmp_path):
+    ds = synthetic_sphere(60, seed=3)
+    nodes = np.asarray(ds['nodes'].tensor(), np.float64)
+    Z = np.asarray(ds['poses'].tensor(), np.float64)
+    edges = np.asarray(ds['edges'])
+    iu = np.triu_indices(6)
+    info = (2.0 * np.eye(6))[iu]
+    lines = ['VERTEX_SE3:QUAT %d ' % i + ' '.join('%.9f' % x for x in v)
+             for i, v in enumerate(nodes)]
+    for (i, j), z in zip(edges, Z):
+        lines.append('EDGE_SE3:QUAT %d %d ' % (i, j)
+                     + ' '.join('%.9f' % x for x in z) + ' '
+                     + ' '.join('%.1f' % x for x in info))
+    path = tmp_path / 'g.g2o'
+    path.write_text('\n'.join(lines))
+    return str(path)
+
+
+def _force_python():
+    native._lib = None
+    native._tried = True
+
+
+def _restore():
+    native._tried = False
+
+
+def test_g2o_native_matches_python(g2o_file):
+    if native.get_lib() is None:
+        pytest.skip('no C++ toolchain')
+    d1 = load_g2o(g2o_file)
+    _force_python()
+    try:
+        d2 = load_g2o(g2o_file)
+    finally:
+        _restore()
+    np.testing.assert_allclose(np.asarray(d1['nodes'].tensor()),
+                               np.asarray(d2['nodes'].tensor()), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(d1['edges']),
+                                  np.asarray(d2['edges']))
+    np.testing.assert_allclose(np.asarray(d1['poses'].tensor()),
+                               np.asarray(d2['poses'].tensor()), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(d1['infos']),
+                               np.asarray(d2['infos']), atol=1e-6)
+    # info matrices symmetric with the diagonal NOT doubled
+    np.testing.assert_allclose(np.asarray(d1['infos'][0]), 2.0 * np.eye(6),
+                               atol=1e-6)
+
+
+def test_bal_native_matches_python(tmp_path):
+    if native.get_lib() is None:
+        pytest.skip('no C++ toolchain')
+    rng = np.random.default_rng(0)
+    C, P, O = 3, 5, 7
+    lines = [f'{C} {P} {O}']
+    for _ in range(O):
+        u, v = rng.normal(size=2)
+        lines.append(f'{rng.integers(0, C)} {rng.integers(0, P)} {u} {v}')
+    lines += [str(x) for x in rng.normal(size=9 * C)]
+    lines += [str(x) for x in rng.normal(size=3 * P)]
+    path = tmp_path / 'p.bal'
+    path.write_text('\n'.join(lines))
+    b1 = load_bal(str(path))
+    _force_python()
+    try:
+        b2 = load_bal(str(path))
+    finally:
+        _restore()
+    for k in ('pixels', 'cameras', 'points'):
+        np.testing.assert_allclose(np.asarray(b1[k]), np.asarray(b2[k]),
+                                   atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b1['poses'].tensor()),
+                               np.asarray(b2['poses'].tensor()), atol=1e-6)
