@@ -92,6 +92,40 @@ class BundleAdjustment:
         self.last = None
         self.reject_count = 0
         self._step_fn = None
+        self._build_point_incidence()
+
+    MAX_POINT_DEGREE = 64
+
+    def _build_point_incidence(self):
+        """Static per-point incidence table (gather-based accumulation —
+        TPU scatters with duplicate indices serialize; point degree is
+        small, camera degree is not, so only the point side uses this)."""
+        pi = np.asarray(self.pt_idx)
+        deg = np.bincount(pi, minlength=self.P)
+        D = int(deg.max()) if len(pi) else 0
+        if D > self.MAX_POINT_DEGREE:
+            self._pt_inc = None
+            return
+        inc = np.zeros((self.P, max(D, 1)), np.int32)
+        mask = np.zeros((self.P, max(D, 1)), bool)
+        fill = np.zeros(self.P, np.int64)
+        for o, p in enumerate(pi):
+            inc[p, fill[p]] = o
+            mask[p, fill[p]] = True
+            fill[p] += 1
+        self._pt_inc = (jnp.asarray(inc), jnp.asarray(mask))
+
+    def _acc_points(self, contrib):
+        """Sum per-observation contributions into per-point rows:
+        [O, ...] -> [P, ...]."""
+        if self._pt_inc is None:
+            out = jnp.zeros((self.P,) + contrib.shape[1:],
+                            dtype=contrib.dtype)
+            return out.at[self.pt_idx].add(contrib)
+        inc, mask = self._pt_inc
+        gathered = contrib[inc]
+        m = mask.reshape(mask.shape + (1,) * (contrib.ndim - 1))
+        return jnp.sum(jnp.where(m, gathered, 0), axis=1)
 
     # ------------------------------------------------------------------
     def _r_jac(self, poses_data, points):
@@ -147,15 +181,15 @@ class BundleAdjustment:
         # gradient blocks
         bc = -jnp.zeros((C, 6), r.dtype).at[ci].add(
             jnp.einsum('oda,od->oa', Jc, r, precision=_HI))
-        bp = -jnp.zeros((P, 3), r.dtype).at[pi].add(
-            jnp.einsum('oda,od->oa', Jp, r, precision=_HI))
+        bp = -self._acc_points(jnp.einsum('oda,od->oa', Jp, r,
+                                          precision=_HI))
         bc = self._mask_cam(bc)
 
         # block-diagonal Hessians
         Hcc = jnp.zeros((C, 6, 6), r.dtype).at[ci].add(
             jnp.einsum('oda,odb->oab', Jc, Jc, precision=_HI))
-        Hpp = jnp.zeros((P, 3, 3), r.dtype).at[pi].add(
-            jnp.einsum('oda,odb->oab', Jp, Jp, precision=_HI))
+        Hpp = self._acc_points(jnp.einsum('oda,odb->oab', Jp, Jp,
+                                          precision=_HI))
         last = self._chi2(poses_data, points)
 
         def damped(H, damping):
@@ -183,8 +217,8 @@ class BundleAdjustment:
                 hx = jnp.einsum('cab,cb->ca', Hcc_d, x, precision=_HI)
                 # Hpc x accumulated at points
                 Jcx = jnp.einsum('oda,oa->od', Jc, x[ci], precision=_HI)    # [O, 2]
-                w = jnp.zeros((P, 3), x.dtype).at[pi].add(
-                    jnp.einsum('oda,od->oa', Jp, Jcx, precision=_HI))       # Hpc x
+                w = self._acc_points(jnp.einsum(
+                    'oda,od->oa', Jp, Jcx, precision=_HI))   # Hpc x
                 w = jnp.einsum('pab,pb->pa', Hpp_inv, w, precision=_HI)     # Hpp^-1 Hpc x
                 JpW = jnp.einsum('oda,oa->od', Jp, w[pi], precision=_HI)
                 hx = hx - jnp.zeros((C, 6), x.dtype).at[ci].add(
@@ -203,8 +237,8 @@ class BundleAdjustment:
             dc = self._mask_cam(dc)
             # back-substitute points: dp = Hpp^-1 (bp - Hpc dc)
             Jcdc = jnp.einsum('oda,oa->od', Jc, dc[ci], precision=_HI)
-            Hpcdc = jnp.zeros((P, 3), r.dtype).at[pi].add(
-                jnp.einsum('oda,od->oa', Jp, Jcdc, precision=_HI))
+            Hpcdc = self._acc_points(jnp.einsum(
+                'oda,od->oa', Jp, Jcdc, precision=_HI))
             dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc, precision=_HI)
             return dc, dp
 

@@ -115,10 +115,16 @@ def make_pgo_step(n_nodes, damping=1e-4, cg_iter=50, cg_tol=1e-6):
 
 
 class ShardedPGO:
-    """Pose-graph optimization with edges sharded over a device mesh."""
+    """Pose-graph optimization sharded over a device mesh.
+
+    Factor edges (the data axis) shard over ``axis``; when ``node_axis``
+    is given (2-D mesh), the node-state arrays additionally shard over it
+    (model-parallel analog) — GSPMD inserts the all-gathers/psums for the
+    cross-shard gathers and J^T accumulations.
+    """
 
     def __init__(self, nodes, edges, poses, mesh=None, axis='dp',
-                 damping=1e-4, cg_iter=50, cg_tol=1e-6):
+                 node_axis=None, damping=1e-4, cg_iter=50, cg_tol=1e-6):
         self.mesh = make_mesh() if mesh is None else mesh
         n = nodes.lshape[0]
         self._step = jax.jit(make_pgo_step(n, damping, cg_iter, cg_tol))
@@ -127,7 +133,7 @@ class ShardedPGO:
         # the padded blocks never touch the normal equations.
         edges = jnp.asarray(edges)
         E = edges.shape[0]
-        m = len(self.mesh.devices.flat)
+        m = self.mesh.shape[axis]
         pad = (-E) % m
         if pad:
             eye = jnp.broadcast_to(
@@ -138,7 +144,11 @@ class ShardedPGO:
             poses_data = jnp.concatenate([poses.tensor(), eye], axis=0)
         else:
             poses_data = poses.tensor()
-        self.nodes = replicate(nodes.tensor(), self.mesh)
+        if node_axis is None:
+            self.nodes = replicate(nodes.tensor(), self.mesh)
+        else:
+            self.nodes = jax.device_put(
+                nodes.tensor(), NamedSharding(self.mesh, P(node_axis, None)))
         self.edges = shard_leading(edges, self.mesh, axis)
         self.poses = shard_leading(poses_data, self.mesh, axis)
 
