@@ -130,3 +130,29 @@ def test_mixed_groups_ba_style():
     for _ in range(10):
         loss = opt.step()
     assert loss < 1e-6
+
+
+def test_chain_split_equivalence():
+    """pgo with odometry chain splitting (slice path) matches monolithic."""
+    from pypose_tpu.optim.sparse import split_chain_edges
+    from pypose_tpu.datasets import synthetic_sphere
+    ds = synthetic_sphere(120, seed=7)
+    runs, rest = split_chain_edges(ds['edges'])
+    assert len(runs) == 1 and len(runs[0]) == 119
+    n1, h1 = pgo(ds['nodes'], ds['edges'], ds['poses'], steps=5,
+                 cg_iter=80, cg_tol=1e-7, split_chains=True)
+    n2, h2 = pgo(ds['nodes'], ds['edges'], ds['poses'], steps=5,
+                 cg_iter=80, cg_tol=1e-7, split_chains=False)
+    np.testing.assert_allclose(h1[-1], h2[-1], rtol=1e-3)
+    assert float(jnp.abs(n1.tensor() - n2.tensor()).max()) < 1e-2
+
+
+def test_jitted_optimize():
+    """Device-side optimize() matches step()-loop results."""
+    gt, init, edges, Z = circle_graph(N=40, loops=6, seed=4)
+    opt = SparseLM({'poses': init}, [pgo_factor(edges, Z)],
+                   fixed={'poses': jnp.zeros(40, bool).at[0].set(True)},
+                   cg_iter=60, cg_tol=1e-7)
+    loss = opt.optimize(steps=8, decreasing=1e-9)
+    assert loss < 0.05 * opt.history[0]
+    assert len(opt.history) <= 8
