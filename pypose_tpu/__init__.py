@@ -51,3 +51,6 @@ from . import metric     # noqa: F401
 from . import sparse     # noqa: F401
 from . import func       # noqa: F401
 from . import autograd   # noqa: F401
+from . import interop    # noqa: F401
+from . import parallel   # noqa: F401
+from . import ops        # noqa: F401

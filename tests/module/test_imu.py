@@ -84,3 +84,17 @@ def test_gradient_through_preintegration():
     assert g.shape == (1, F, 3)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_known_rotation_input():
+    """When per-frame rotations are supplied, gravity is compensated in the
+    given frame (imu_preintegrator.py:341-352 semantics)."""
+    integ = IMUPreintegrator(reset=True, prop_cov=False)
+    F = 10
+    dt = jnp.full((1, F, 1), 0.01)
+    gyro = jnp.zeros((1, F, 3))
+    acc = jnp.broadcast_to(jnp.array([0., 0., 9.81007]), (1, F, 3))
+    rot = pp.identity_SO3(1, F)
+    out = integ(dt, gyro, acc, rot=rot)
+    np.testing.assert_allclose(np.asarray(out['pos'][0, -1]), 0.0,
+                               atol=1e-5)

@@ -93,3 +93,14 @@ def test_optimizer_state_checkpoint(tmp_path):
     for _ in range(5):
         loss = opt2.step(inputs)
     assert loss < 1e-8
+
+
+def test_interop_roundtrip():
+    import torch
+    t = torch.randn(3, 4)
+    a = pp.interop.from_torch(t)
+    assert a.shape == (3, 4)
+    back = pp.interop.to_torch(a)
+    assert torch.allclose(back, t)
+    X = pp.randn_SE3(2, key=jax.random.PRNGKey(7))
+    assert pp.interop.to_torch(X).shape == (2, 7)
