@@ -159,6 +159,8 @@ def compute_error(rtraj, etraj, output='translation', mtype='ape',
         'Max': jnp.max(jnp.abs(error)),
         'Min': jnp.min(jnp.abs(error)),
         'Mean': jnp.mean(jnp.abs(error)),
+        # NOTE: for even-length errors jnp.median averages the two middle
+        # values; the reference's torch.median returns the lower one.
         'Median': jnp.median(jnp.abs(error)),
         'RMSE': jnp.sqrt(jnp.mean(error ** 2)),
         'SSE': jnp.sum(error ** 2),

@@ -23,8 +23,9 @@ class IMUPreintegrator(Module):
     """
 
     def __init__(self, pos=jnp.zeros(3), rot=identity_SO3(),
-                 vel=jnp.zeros(3), gravity=9.81007, gyro_cov=3.2e-9,
-                 acc_cov=8e-8, prop_cov=True, reset=False):
+                 vel=jnp.zeros(3), gravity=9.81007,
+                 gyro_cov=(3.2e-3) ** 2, acc_cov=(8e-2) ** 2,
+                 prop_cov=True, reset=False):
         super().__init__()
         if not reset and not prop_cov:
             raise RuntimeError(
