@@ -69,45 +69,46 @@ def microbench_lieops(batch=100_000, iters=20):
 def bench_pgo_sphere2500():
     import jax.numpy as jnp
     from pypose_tpu.datasets import synthetic_sphere
-    from pypose_tpu.optim.sparse import SparseLM, pgo_factor
+    from pypose_tpu.optim.sparse import (SparseLM, pgo_factor,
+                                         split_chain_edges)
     from pypose_tpu.optim.strategy import TrustRegion
 
     ds = synthetic_sphere(2500)
     n = 2500
     fixed = {'poses': jnp.zeros(n, bool).at[0].set(True)}
+    edges = jnp.asarray(ds['edges'])
+    runs, rest = split_chain_edges(edges)
+    factors = [pgo_factor(edges[jnp.asarray(r)], ds['poses'][jnp.asarray(r)])
+               for r in runs]
+    factors.append(pgo_factor(edges[jnp.asarray(rest)],
+                              ds['poses'][jnp.asarray(rest)]))
+    opt = SparseLM({'poses': ds['nodes']}, factors,
+                   strategy=TrustRegion(radius=1e4), fixed=fixed,
+                   cg_iter=150, cg_tol=1e-6)
 
-    def make_opt():
-        opt = SparseLM({'poses': ds['nodes']},
-                       [pgo_factor(ds['edges'], ds['poses'])],
-                       strategy=TrustRegion(radius=1e4), fixed=fixed,
-                       cg_iter=150, cg_tol=1e-6)
-        return opt
-
-    # cold run: establishes the reference chi2 (converged plateau) + compile
-    opt = make_opt()
+    # cold: compile + converge; establishes the reference chi2 plateau
     t0 = time.perf_counter()
-    losses = [opt.step() for _ in range(6)]
-    log(f'[pgo] cold: compile+6 steps in {time.perf_counter()-t0:.1f}s, '
-        f'chi2 {losses[0]:.4e} -> {losses[-1]:.4e}')
-    ref_chi2 = losses[-1] * 1.01  # within 1% of converged value
+    opt.optimize(steps=6, decreasing=1e-6, patience=2)
+    log(f'[pgo] cold: compile+optimize in {time.perf_counter()-t0:.1f}s, '
+        f'chi2 {opt.history[0]:.4e} -> {opt.history[-1]:.4e}')
+    ref_chi2 = opt.history[-1] * 1.01
 
-    # warm run: fresh problem state, SAME compiled step
-    step_fn, strat0 = opt._step_fn, opt.strategy.init(jnp.float32)
-    params = {'poses': ds['nodes']}
-    jax.block_until_ready(params['poses'].tensor())
+    # warm: reset problem state, rerun the fully-device-side optimize loop
+    opt.params = {'poses': ds['nodes']}
+    opt.strategy_state = opt.strategy.init(jnp.float32)
     t0 = time.perf_counter()
-    strat = strat0
-    steps = 0
-    chi2 = float('inf')
-    while chi2 > ref_chi2 and steps < 20:
-        params, loss, last, strat, count = step_fn(params, strat)
-        chi2 = float(loss)   # host sync each step, like a real loop
-        steps += 1
+    chi2 = opt.optimize(steps=6, decreasing=1e-6, patience=2)
     elapsed = time.perf_counter() - t0
-    log(f'[pgo] warm: {steps} LM steps to chi2 {chi2:.4e} '
-        f'(target {ref_chi2:.4e}) in {elapsed:.3f}s '
-        f'({elapsed/steps*1e3:.1f} ms/step)')
-    return elapsed, chi2
+    steps = len(opt.history)
+    # time-to-target: first step whose chi2 beats the converged plateau
+    hit = next((i + 1 for i, h in enumerate(opt.history)
+                if h <= ref_chi2), steps)
+    t_to_target = elapsed * hit / steps
+    log(f'[pgo] warm: {steps} device-side LM steps in {elapsed:.3f}s '
+        f'({elapsed/steps*1e3:.1f} ms/step); chi2 {chi2:.4e}; '
+        f'target {ref_chi2:.4e} hit at step {hit} '
+        f'(~{t_to_target:.3f}s)')
+    return t_to_target, chi2
 
 
 def bench_ba():
