@@ -96,3 +96,26 @@ def test_nls_linearization():
     f = model.state_transition(x, u)
     recon = pp.bmv(model.A, x) + pp.bmv(model.B, u) + model.c1
     np.testing.assert_allclose(np.asarray(f), np.asarray(recon), atol=1e-5)
+
+
+def test_ekf_batched():
+    """Batched EKF: leading batch dims broadcast through predict/update."""
+    model = Sys()
+    B, N = 3, 2
+    Q = jnp.eye(N) * 0.01
+    R = jnp.eye(N) * 0.01
+    x = jax.random.normal(jax.random.PRNGKey(20), (B, N))
+    y = jax.random.normal(jax.random.PRNGKey(21), (B, N))
+    u = jnp.zeros((B, N))
+    P = jnp.broadcast_to(jnp.eye(N), (B, N, N))
+    ekf = EKF(model, Q, R)
+    # vmap over the batch (the TPU-native batching path)
+    xv, Pv = jax.vmap(lambda x, y, u, P: ekf(x, y, u, P))(x, y, u, P)
+    assert xv.shape == (B, N) and Pv.shape == (B, N, N)
+    # per-item equality
+    for b in range(B):
+        xb, Pb = ekf(x[b], y[b], u[b], P[b])
+        np.testing.assert_allclose(np.asarray(xv[b]), np.asarray(xb),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(Pv[b]), np.asarray(Pb),
+                                   atol=1e-5)
