@@ -136,9 +136,43 @@ def bench_ba():
         f'reproj RMSE {jnp.sqrt(loss/O):.4f} px')
 
 
+def bench_batch_lm(B=4096, steps=4):
+    """Secondary: B independent SE3 pose-inversion LM problems in ONE
+    vmapped program (Theseus-style batched-optimization throughput)."""
+    import jax.numpy as jnp
+    import pypose_tpu as pp
+    from pypose_tpu.optim.strategy import Constant
+
+    class PoseInvB(pp.Module):
+        def __init__(self):
+            super().__init__()
+            self.pose = pp.Parameter(pp.identity_se3(1))
+
+        def forward(self, input):
+            return (self.pose.Exp() @ input).Log().tensor()
+
+    from pypose_tpu.optim import make_batch_optimizer
+    targets = pp.randn_SE3(B, 1, sigma=0.5, key=jax.random.PRNGKey(7))
+    solve = make_batch_optimizer(PoseInvB(), steps=steps,
+                                 strategy=Constant(damping=1e-6))
+    params, losses = solve(targets)
+    jax.block_until_ready(losses)
+    t0 = time.perf_counter()
+    params, losses = solve(targets)
+    jax.block_until_ready(losses)
+    dt = time.perf_counter() - t0
+    log(f'[batch-lm] {B} independent SE3 LM problems x {steps} steps: '
+        f'{dt*1e3:.1f} ms = {B/dt:.3e} problems/s '
+        f'(max loss {float(losses.max()):.1e})')
+
+
 def main():
     log('devices:', jax.devices())
     ops_per_sec = microbench_lieops()
+    try:
+        bench_batch_lm()
+    except Exception as e:
+        log('[batch-lm] failed:', e)
     try:
         bench_ba()
     except Exception as e:  # secondary metric must not kill the headline

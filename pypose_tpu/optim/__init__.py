@@ -1,4 +1,5 @@
-from .optimizer import GaussNewton, GN, LevenbergMarquardt, LM, RobustModel
+from .optimizer import GaussNewton, GN, LevenbergMarquardt, LM, \
+    RobustModel, batch_optimize, make_batch_optimizer
 from .functional import modjac, modjacrev, modjacfwd
 from . import solver
 from . import kernel
@@ -6,6 +7,6 @@ from . import corrector
 from . import strategy
 from . import scheduler
 
-__all__ = ['GaussNewton', 'GN', 'LevenbergMarquardt', 'LM', 'RobustModel',
+__all__ = ['GaussNewton', 'GN', 'LevenbergMarquardt', 'LM', 'RobustModel', 'batch_optimize', 'make_batch_optimizer',
            'modjac', 'modjacrev', 'modjacfwd', 'solver', 'kernel',
            'corrector', 'strategy', 'scheduler']

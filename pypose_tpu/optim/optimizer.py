@@ -314,3 +314,54 @@ class LevenbergMarquardt(_Optimizer):
 
 
 LM = LevenbergMarquardt
+
+
+def make_batch_optimizer(model, steps=10, strategy=None, kernel=None,
+                         solver=None, has_target=False, has_weight=False):
+    r"""Build a reusable jitted solver for MANY independent instances of the
+    same NLS problem: ``jax.vmap`` of the LM core over a leading problem
+    axis of ``input`` (and ``target``/``weight`` when enabled).
+
+    This is the TPU-native form of the reference's headline batched
+    optimization (its batching lives inside one problem's residual dims;
+    here whole optimization problems vectorize — thousands of independent
+    pose estimations run as a single XLA program).
+
+    Returns ``solve(input, target=None, weight=None) ->
+    (params_batched, losses)``.
+    """
+    opt = LevenbergMarquardt(model, strategy=strategy, kernel=kernel,
+                             solver=solver)
+    params0 = model.parameters()
+    dtype = jax.tree_util.tree_leaves(params0)[0].dtype
+    strat0 = opt.strategy.init(dtype)
+
+    def solve_one(inp, tgt, wgt):
+        def body(i, st):
+            params, strat, _ = st
+            params, loss, last, strat, cnt = opt._core(
+                params, strat, inp, tgt, wgt)
+            return (params, strat, loss)
+
+        params, strat, loss = jax.lax.fori_loop(
+            0, steps, body,
+            (params0, strat0, jnp.asarray(jnp.inf, dtype)))
+        return params, loss
+
+    in_axes = (0, 0 if has_target else None, 0 if has_weight else None)
+    vsolve = jax.jit(jax.vmap(solve_one, in_axes=in_axes))
+
+    def solve(input, target=None, weight=None):
+        return vsolve(input, target, weight)
+
+    return solve
+
+
+def batch_optimize(model, input, target=None, weight=None, steps=10,
+                   strategy=None, kernel=None, solver=None):
+    r"""One-shot convenience around :func:`make_batch_optimizer`."""
+    solve = make_batch_optimizer(model, steps=steps, strategy=strategy,
+                                 kernel=kernel, solver=solver,
+                                 has_target=target is not None,
+                                 has_weight=weight is not None)
+    return solve(input, target, weight)

@@ -147,3 +147,27 @@ def test_euclidean_and_lie_params():
     for _ in range(10):
         loss = opt.step(inputs, target=target)
     assert loss < 1e-7
+
+
+def test_batch_optimize():
+    """Thousands of independent problems solved in one vmapped program."""
+    from pypose_tpu.optim import batch_optimize
+    from pypose_tpu.optim.strategy import Constant
+
+    class PoseInvB(pp.Module):
+        def __init__(self):
+            super().__init__()
+            self.pose = pp.Parameter(pp.identity_se3(1))
+
+        def forward(self, input):
+            return (self.pose.Exp() @ input).Log().tensor()
+
+    B = 128
+    targets = pp.randn_SE3(B, 1, sigma=0.5, key=jax.random.PRNGKey(42))
+    params, losses = batch_optimize(PoseInvB(), targets, steps=4,
+                                    strategy=Constant(damping=1e-6))
+    assert losses.shape == (B,)
+    assert float(losses.max()) < 1e-8
+    # every problem recovered its own inverse pose
+    est = params['pose']
+    assert est.shape == (B, 1, 6)
