@@ -95,6 +95,7 @@ class BundleAdjustment:
         self._build_point_incidence()
 
     MAX_POINT_DEGREE = 64
+    MAX_CAM_DEGREE = 8192
 
     def _build_point_incidence(self):
         """Static per-point incidence table (gather-based accumulation —
@@ -114,6 +115,33 @@ class BundleAdjustment:
             mask[p, fill[p]] = True
             fill[p] += 1
         self._pt_inc = (jnp.asarray(inc), jnp.asarray(mask))
+        # camera-side incidence (degrees are large but bounded; the gather
+        # formulation still beats duplicate-index scatters on TPU)
+        ci = np.asarray(self.cam_idx)
+        deg = np.bincount(ci, minlength=self.C)
+        D = int(deg.max()) if len(ci) else 0
+        if D > self.MAX_CAM_DEGREE:
+            self._cam_inc = None
+            return
+        inc = np.zeros((self.C, max(D, 1)), np.int32)
+        mask = np.zeros((self.C, max(D, 1)), bool)
+        fill = np.zeros(self.C, np.int64)
+        for o, c in enumerate(ci):
+            inc[c, fill[c]] = o
+            mask[c, fill[c]] = True
+            fill[c] += 1
+        self._cam_inc = (jnp.asarray(inc), jnp.asarray(mask))
+
+    def _acc_cams(self, contrib):
+        """[O, ...] -> [C, ...] camera-side accumulation."""
+        if self._cam_inc is None:
+            out = jnp.zeros((self.C,) + contrib.shape[1:],
+                            dtype=contrib.dtype)
+            return out.at[self.cam_idx].add(contrib)
+        inc, mask = self._cam_inc
+        gathered = contrib[inc]
+        m = mask.reshape(mask.shape + (1,) * (contrib.ndim - 1))
+        return jnp.sum(jnp.where(m, gathered, 0), axis=1)
 
     def _acc_points(self, contrib):
         """Sum per-observation contributions into per-point rows:
@@ -179,15 +207,15 @@ class BundleAdjustment:
         C, P = self.C, self.P
 
         # gradient blocks
-        bc = -jnp.zeros((C, 6), r.dtype).at[ci].add(
-            jnp.einsum('oda,od->oa', Jc, r, precision=_HI))
+        bc = -self._acc_cams(jnp.einsum('oda,od->oa', Jc, r,
+                                        precision=_HI))
         bp = -self._acc_points(jnp.einsum('oda,od->oa', Jp, r,
                                           precision=_HI))
         bc = self._mask_cam(bc)
 
         # block-diagonal Hessians
-        Hcc = jnp.zeros((C, 6, 6), r.dtype).at[ci].add(
-            jnp.einsum('oda,odb->oab', Jc, Jc, precision=_HI))
+        Hcc = self._acc_cams(jnp.einsum('oda,odb->oab', Jc, Jc,
+                                        precision=_HI))
         Hpp = self._acc_points(jnp.einsum('oda,odb->oab', Jp, Jp,
                                           precision=_HI))
         last = self._chi2(poses_data, points)
@@ -207,9 +235,8 @@ class BundleAdjustment:
             # Schur rhs: bs = bc - Hcp Hpp^-1 bp
             y = jnp.einsum('pab,pb->pa', Hpp_inv, bp, precision=_HI)        # [P, 3]
             JpY = jnp.einsum('oda,oa->od', Jp, y[pi], precision=_HI)        # [O, 2]
-            bs = bc - self._mask_cam(
-                jnp.zeros((C, 6), r.dtype).at[ci].add(
-                    jnp.einsum('oda,od->oa', Jc, JpY, precision=_HI)))
+            bs = bc - self._mask_cam(self._acc_cams(
+                jnp.einsum('oda,od->oa', Jc, JpY, precision=_HI)))
 
             def Svp(x):
                 x = self._mask_cam(x)
@@ -221,7 +248,7 @@ class BundleAdjustment:
                     'oda,od->oa', Jp, Jcx, precision=_HI))   # Hpc x
                 w = jnp.einsum('pab,pb->pa', Hpp_inv, w, precision=_HI)     # Hpp^-1 Hpc x
                 JpW = jnp.einsum('oda,oa->od', Jp, w[pi], precision=_HI)
-                hx = hx - jnp.zeros((C, 6), x.dtype).at[ci].add(
+                hx = hx - self._acc_cams(
                     jnp.einsum('oda,od->oa', Jc, JpW, precision=_HI))
                 return self._mask_cam(hx)
 
