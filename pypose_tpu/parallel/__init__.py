@@ -24,7 +24,7 @@ from ..optim.sparse import SparseLM, Factor, pgo_factor
 from ..optim.strategy import TrustRegion
 
 __all__ = ['make_mesh', 'shard_leading', 'replicate', 'ShardedPGO',
-           'make_pgo_step']
+           'make_pgo_step', 'make_ba_step', 'ShardedBA']
 
 
 def make_mesh(n_devices=None, axis='dp', devices=None):
@@ -112,6 +112,130 @@ def make_pgo_step(n_nodes, damping=1e-4, cg_iter=50, cg_tol=1e-6):
         return new_nodes, chi2
 
     return step
+
+
+def make_ba_step(n_cams, n_points, damping=1e-4, cg_iter=30, cg_tol=1e-6):
+    r"""Pure, shardable Schur-complement BA step:
+
+        step(poses_data, points, cam_idx, pt_idx, pixels, cameras)
+            -> (new_poses_data, new_points, chi2)
+
+    Observations (the dominant axis) shard over the mesh; the per-obs
+    JᵀJ-block reductions lower to psums; the reduced camera system is tiny
+    and solves replicated.
+    """
+    from ..optim.ba import reproj_residual_bal
+    from ..ops.smallinv import inv3x3, inv6x6
+
+    def step(poses_data, points, cam_idx, pt_idx, pixels, cameras):
+        C, P = n_cams, n_points
+
+        def one(tc, xp, cam, pix):
+            def f(ec, ep):
+                return reproj_residual_bal(SE3(tc).add(ec), xp + ep, cam,
+                                           pix)
+            z6 = jnp.zeros(6, poses_data.dtype)
+            z3 = jnp.zeros(3, poses_data.dtype)
+            r = f(z6, z3)
+            Jc, Jp = jax.jacrev(f, argnums=(0, 1))(z6, z3)
+            return r, Jc, Jp
+
+        r, Jc, Jp = jax.vmap(one)(poses_data[cam_idx], points[pt_idx],
+                                  cameras, pixels)
+        chi2 = jnp.sum(r * r)
+        bc = -jnp.zeros((C, 6), r.dtype).at[cam_idx].add(
+            jnp.einsum('oda,od->oa', Jc, r, precision=_HI))
+        bp = -jnp.zeros((P, 3), r.dtype).at[pt_idx].add(
+            jnp.einsum('oda,od->oa', Jp, r, precision=_HI))
+        bc = bc.at[0].set(0.0)
+        Hcc = jnp.zeros((C, 6, 6), r.dtype).at[cam_idx].add(
+            jnp.einsum('oda,odb->oab', Jc, Jc, precision=_HI))
+        Hpp = jnp.zeros((P, 3, 3), r.dtype).at[pt_idx].add(
+            jnp.einsum('oda,odb->oab', Jp, Jp, precision=_HI))
+
+        def damped(H):
+            d = jnp.clip(jnp.diagonal(H, axis1=-2, axis2=-1), 1e-6, 1e32) \
+                * (1.0 + damping)
+            eye = jnp.eye(H.shape[-1], dtype=H.dtype)
+            return H + (d - jnp.diagonal(H, axis1=-2, axis2=-1))[..., None] \
+                * eye
+
+        Hcc_d, Hpp_d = damped(Hcc), damped(Hpp)
+        Hpp_inv = inv3x3(Hpp_d)
+        y = jnp.einsum('pab,pb->pa', Hpp_inv, bp, precision=_HI)
+        JpY = jnp.einsum('oda,oa->od', Jp, y[pt_idx], precision=_HI)
+        bs = bc - jnp.zeros((C, 6), r.dtype).at[cam_idx].add(
+            jnp.einsum('oda,od->oa', Jc, JpY, precision=_HI))
+        bs = bs.at[0].set(0.0)
+
+        def Svp(x):
+            x = x.at[0].set(0.0)
+            hx = jnp.einsum('cab,cb->ca', Hcc_d, x, precision=_HI)
+            Jcx = jnp.einsum('oda,oa->od', Jc, x[cam_idx], precision=_HI)
+            w = jnp.zeros((P, 3), x.dtype).at[pt_idx].add(
+                jnp.einsum('oda,od->oa', Jp, Jcx, precision=_HI))
+            w = jnp.einsum('pab,pb->pa', Hpp_inv, w, precision=_HI)
+            JpW = jnp.einsum('oda,oa->od', Jp, w[pt_idx], precision=_HI)
+            hx = hx - jnp.zeros((C, 6), x.dtype).at[cam_idx].add(
+                jnp.einsum('oda,od->oa', Jc, JpW, precision=_HI))
+            return hx.at[0].set(0.0)
+
+        Minv = inv6x6(Hcc_d)
+        dc, _ = jax.scipy.sparse.linalg.cg(
+            Svp, bs, tol=cg_tol, maxiter=cg_iter,
+            M=lambda x: jnp.einsum('cab,cb->ca', Minv, x, precision=_HI))
+        dc = dc.at[0].set(0.0)
+        Jcdc = jnp.einsum('oda,oa->od', Jc, dc[cam_idx], precision=_HI)
+        Hpcdc = jnp.zeros((P, 3), r.dtype).at[pt_idx].add(
+            jnp.einsum('oda,od->oa', Jp, Jcdc, precision=_HI))
+        dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc, precision=_HI)
+        return SE3(poses_data).add(dc).tensor(), points + dp, chi2
+
+    return step
+
+
+class ShardedBA:
+    """Bundle adjustment with observations sharded over a device mesh."""
+
+    def __init__(self, poses, points, cam_idx, pt_idx, pixels, cameras,
+                 mesh=None, axis='dp', damping=1e-4, cg_iter=30,
+                 cg_tol=1e-6):
+        self.mesh = make_mesh() if mesh is None else mesh
+        C, Pn = poses.lshape[0], points.shape[0]
+        self._step = jax.jit(make_ba_step(C, Pn, damping, cg_iter, cg_tol))
+        cameras = jnp.asarray(cameras)
+        if cameras.shape[0] == C:
+            cameras = cameras[jnp.asarray(cam_idx)]
+        # pad observations to a mesh multiple with zero-focal fake cameras:
+        # residual = f*dist*p - pix = 0 and every Jacobian term scales by
+        # f = 0, so padded observations contribute exactly nothing.
+        O = pixels.shape[0]
+        m = self.mesh.shape[axis]
+        pad = (-O) % m
+        cam_idx = jnp.asarray(cam_idx, jnp.int32)
+        pt_idx = jnp.asarray(pt_idx, jnp.int32)
+        pixels = jnp.asarray(pixels)
+        if pad:
+            cam_idx = jnp.concatenate(
+                [cam_idx, jnp.zeros(pad, jnp.int32)])
+            pt_idx = jnp.concatenate([pt_idx, jnp.zeros(pad, jnp.int32)])
+            pixels = jnp.concatenate(
+                [pixels, jnp.zeros((pad, 2), pixels.dtype)])
+            cameras = jnp.concatenate(
+                [cameras, jnp.zeros((pad,) + cameras.shape[1:],
+                                    cameras.dtype)])
+        self.poses = replicate(poses.tensor(), self.mesh)
+        self.points = replicate(points, self.mesh)
+        self.cam_idx = shard_leading(cam_idx, self.mesh, axis)
+        self.pt_idx = shard_leading(pt_idx, self.mesh, axis)
+        self.pixels = shard_leading(pixels, self.mesh, axis)
+        self.cameras = shard_leading(cameras, self.mesh, axis)
+
+    def step(self):
+        self.poses, self.points, chi2 = self._step(
+            self.poses, self.points, self.cam_idx, self.pt_idx,
+            self.pixels, self.cameras)
+        return float(chi2)
 
 
 class ShardedPGO:

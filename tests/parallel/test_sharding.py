@@ -77,3 +77,28 @@ def test_graft_entry_dryrun():
     fn, args = g.entry()
     loss = jax.jit(fn)(*args)
     assert np.isfinite(float(loss))
+
+
+@requires_8
+def test_sharded_ba_matches_single_device():
+    from pypose_tpu.parallel import ShardedBA, make_ba_step
+    from pypose_tpu.datasets import synthetic_bal
+    ds = synthetic_bal(n_cams=6, n_points=60, obs_per_point=3, seed=9)
+    mesh = make_mesh(8)
+    ba = ShardedBA(ds['poses'], ds['points'], ds['cam_idx'], ds['pt_idx'],
+                   ds['pixels'], ds['cameras'], mesh=mesh, cg_iter=20)
+    chi0 = ba.step()
+    chi1 = ba.step()
+    assert chi1 < chi0
+
+    step = jax.jit(make_ba_step(6, 60, cg_iter=20))
+    cams = jnp.asarray(ds['cameras'])[jnp.asarray(ds['cam_idx'])]
+    poses, points, c0 = step(ds['poses'].tensor(), ds['points'],
+                             jnp.asarray(ds['cam_idx']),
+                             jnp.asarray(ds['pt_idx']),
+                             jnp.asarray(ds['pixels']), cams)
+    np.testing.assert_allclose(chi0, float(c0), rtol=1e-4)
+    _, _, c1 = step(poses, points, jnp.asarray(ds['cam_idx']),
+                    jnp.asarray(ds['pt_idx']), jnp.asarray(ds['pixels']),
+                    cams)
+    np.testing.assert_allclose(chi1, float(c1), rtol=1e-3, atol=1e-2)
