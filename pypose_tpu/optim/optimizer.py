@@ -234,7 +234,13 @@ class LevenbergMarquardt(_Optimizer):
 
     def __init__(self, model, solver=None, strategy=None, kernel=None,
                  corrector=None, weight=None, reject=16, min=1e-6, max=1e32,
-                 vectorize=True):
+                 vectorize=True, sparse=False):
+        if sparse:
+            raise ValueError(
+                "LM(sparse=True) maps to the TPU-native factor-graph path: "
+                "use pypose_tpu.optim.sparse.SparseLM with Factor edge "
+                "declarations (see MIGRATING.md) — no runtime index-tracing "
+                "backend is needed.")
         assert min > 0, ValueError('min value has to be positive: ' + str(min))
         assert max > 0, ValueError('max value has to be positive: ' + str(max))
         super().__init__(model, kernel, corrector)
