@@ -50,7 +50,7 @@ def main():
 
     if 'gt' in ds:
         from pypose_tpu.metric import ape
-        stamps = jnp.arange(nodes.lshape[0], dtype=jnp.float64)
+        import numpy as _np; stamps = _np.arange(nodes.lshape[0], dtype=_np.float64)
         result = ape(stamps, ds['gt'], stamps, nodes, etype='translation',
                      align=True, otype='RMSE')
         print(f'APE RMSE vs ground truth (aligned): {float(result):.4f}')

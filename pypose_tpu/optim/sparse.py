@@ -96,7 +96,7 @@ class SparseLM:
 
     def __init__(self, params, factors, solver=None, strategy=None,
                  reject=16, min=1e-6, max=1e32, cg_iter=None, cg_tol=1e-5,
-                 fixed=None):
+                 fixed=None, precond='auto'):
         self.params = dict(params)
         self.factors = list(factors)
         self.strategy = TrustRegion() if strategy is None else strategy
@@ -114,6 +114,25 @@ class SparseLM:
         self.reject_count = 0
         self._step_fn = None
         self._build_incidence()
+        if precond == 'auto':
+            # the chain-exact (BCR) preconditioner pays off when the graph
+            # is chain-dominated: few non-chain edges per node (measured:
+            # >2.5x fewer CG iterations at 0.04 loops/node; no win at 0.8)
+            has_chain = any(
+                s is not None and len(s) == 2 and s[1] == s[0] + 1
+                for s in self._slice.values())
+            n_nodes = sum(int(np.prod(v.shape[:-1]))
+                          for v in self.params.values())
+            non_chain_edges = sum(
+                f.num_edges for fi, f in enumerate(self.factors)
+                if not any(self._slice.get((fi, n)) is not None
+                           for n in f.indices))
+            # nb: `max` is shadowed by the clamp kwarg in this scope
+            self.precond = 'chain' if has_chain and \
+                non_chain_edges < 0.3 * (n_nodes if n_nodes > 1 else 1) \
+                else 'jacobi'
+        else:
+            self.precond = precond
 
     def _build_incidence(self):
         """Static per-node incidence tables: for each (factor, group),
@@ -323,26 +342,90 @@ class SparseLM:
                 out[n] = acc if n not in out else out[n] + acc
         return out
 
-    def _block_jacobi(self, blocks, damped_scale):
-        """Per-node tan x tan blocks of J^T W J (+ LM damping), inverted."""
-        inv = {}
+    def _block_diag_accum(self, blocks):
+        """Per-node tan x tan diagonal blocks of J^T W J."""
+        acc_out = {}
         for fi, (f, (r, J, WJ_r, WJ)) in enumerate(zip(self.factors,
                                                        blocks)):
             for n in f.indices:
                 B = jnp.einsum('edat,edau->eatu', WJ[n], J[n], precision=_HI)
                 acc = self._accumulate(fi, n, B)
-                inv[n] = acc if n not in inv else inv[n] + acc
+                acc_out[n] = acc if n not in acc_out else acc_out[n] + acc
+        return acc_out
+
+    def _damped_blocks(self, accum, damped_scale):
+        """Clamp + damp the diagonal of the accumulated blocks (same
+        treatment the matvec applies)."""
         out = {}
-        for n, B in inv.items():
-            # replace the diagonal by its clamped + LM-damped value (same
-            # treatment the matvec applies), keep off-diagonals
+        for n, B in accum.items():
             d = jnp.clip(jnp.diagonal(B, axis1=-2, axis2=-1),
                          self.min, self.max) * damped_scale[n]
             eye = jnp.eye(B.shape[-1], dtype=B.dtype)
-            B = B + (d - jnp.diagonal(B, axis1=-2, axis2=-1))[..., None] * eye
-            from ..ops.smallinv import blockinv
-            out[n] = blockinv(B + 1e-8 * eye)
+            out[n] = B + (d - jnp.diagonal(B, axis1=-2, axis2=-1))[..., None] \
+                * eye + 1e-8 * eye
         return out
+
+    def _block_jacobi(self, blocks, damped_scale):
+        """Per-node blocks of J^T W J (+ LM damping), inverted."""
+        from ..ops.smallinv import blockinv
+        damped = self._damped_blocks(self._block_diag_accum(blocks),
+                                     damped_scale)
+        return {n: blockinv(B) for n, B in damped.items()}
+
+    def _chain_offdiag(self, blocks, n):
+        """Super-diagonal blocks U[i] (coupling node i -> i+1) contributed
+        by chain-structured factors of group ``n``; None if no chain."""
+        N = int(np.prod(self.params[n].shape[:-1]))
+        t = _tan_dim(self.params[n])
+        U = None
+        for fi, (f, (r, J, WR, WJ)) in enumerate(zip(self.factors, blocks)):
+            offs = self._slice.get((fi, n))
+            if offs is None or len(offs) != 2 or offs[1] != offs[0] + 1:
+                continue
+            E = J[n].shape[0]
+            blk = jnp.einsum('edt,edu->etu', WJ[n][:, :, 0, :],
+                             J[n][:, :, 1, :], precision=_HI)
+            if U is None:
+                U = jnp.zeros((N, t, t), dtype=blk.dtype)
+            U = U.at[offs[0]:offs[0] + E].add(blk)
+        return U
+
+    def _chain_preconditioner(self, blocks, damped_scale):
+        """Block-tridiagonal (chain-exact) preconditioner where chain
+        factors exist, block-Jacobi elsewhere.  Returns M(x) callable.
+
+        The odometry chain makes J^T W J's condition grow ~O(N^2); solving
+        its tridiagonal part exactly via parallel cyclic reduction
+        (ops/block_tridiag.py) collapses CG iteration counts.
+        """
+        from ..ops.smallinv import blockinv
+        from ..ops.block_tridiag import bcr_factor, bcr_solve
+        accum = self._block_diag_accum(blocks)
+        damped = self._damped_blocks(accum, damped_scale)
+        appliers = {}
+        for n, D in damped.items():
+            U = self._chain_offdiag(blocks, n)
+            m = self.fixed.get(n)
+            if U is None:
+                inv = blockinv(D)
+                appliers[n] = (lambda inv: lambda x: jnp.einsum(
+                    'ntu,nu->nt', inv, x, precision=_HI))(inv)
+                continue
+            if m is not None:
+                mask = jnp.asarray(m)
+                eye = jnp.eye(D.shape[-1], dtype=D.dtype)
+                D = jnp.where(mask[:, None, None], eye, D)
+                # zero couplings touching fixed nodes
+                kill = mask[:-1] | mask[1:]
+                U = U.at[:-1].set(jnp.where(kill[:, None, None], 0.0,
+                                            U[:-1]))
+                U = U.at[-1].set(0.0)
+            L = jnp.concatenate(
+                [jnp.zeros_like(U[:1]),
+                 jnp.swapaxes(U[:-1], -1, -2)], axis=0)
+            fac = bcr_factor(D, L, U)
+            appliers[n] = (lambda fac: lambda x: bcr_solve(fac, x))(fac)
+        return lambda x: {n: appliers[n](x[n]) for n in x}
 
     # ------------------------------------------------------------------
     def _core(self, params, strat_state):
@@ -368,12 +451,15 @@ class SparseLM:
                                    + damping * diagA[n])
                         * self._mask(n, x[n]) for n in y}
 
-            Binv = self._block_jacobi(
-                blocks, {n: 1.0 + damping for n in diagA})
+            scale = {n: 1.0 + damping for n in diagA}
+            if self.precond == 'chain':
+                M = self._chain_preconditioner(blocks, scale)
+            else:
+                Binv = self._block_jacobi(blocks, scale)
 
-            def M(x):
-                return {n: jnp.einsum('ntu,nu->nt', Binv[n], x[n], precision=_HI)
-                        for n in x}
+                def M(x):
+                    return {n: jnp.einsum('ntu,nu->nt', Binv[n], x[n],
+                                          precision=_HI) for n in x}
 
             x, _ = jax.scipy.sparse.linalg.cg(
                 Avp, b, tol=self.cg_tol, maxiter=maxiter, M=M)
