@@ -166,6 +166,38 @@ def bench_batch_lm(B=4096, steps=4):
         f'(max loss {float(losses.max()):.1e})')
 
 
+def bench_pgo_chain():
+    """Secondary: chain-dominated PGO (sparse loop closures — the BCR
+    chain preconditioner's regime)."""
+    import jax.numpy as jnp
+    from pypose_tpu.datasets import synthetic_sphere
+    from pypose_tpu.optim.sparse import (SparseLM, pgo_factor,
+                                         split_chain_edges)
+    from pypose_tpu.optim.strategy import TrustRegion
+
+    ds = synthetic_sphere(5000, loops_per_pose=0.04, seed=5)
+    edges = jnp.asarray(ds['edges'])
+    runs, rest = split_chain_edges(edges)
+    factors = [pgo_factor(edges[jnp.asarray(r)],
+                          ds['poses'][jnp.asarray(r)]) for r in runs]
+    if len(rest):
+        factors.append(pgo_factor(edges[jnp.asarray(rest)],
+                                  ds['poses'][jnp.asarray(rest)]))
+    fixed = {'poses': jnp.zeros(5000, bool).at[0].set(True)}
+    opt = SparseLM({'poses': ds['nodes']}, factors,
+                   strategy=TrustRegion(radius=1e4), fixed=fixed,
+                   cg_iter=200, cg_tol=1e-6)
+    opt.optimize(steps=6, decreasing=1e-6, patience=2)
+    opt.params = {'poses': ds['nodes']}
+    opt.strategy_state = opt.strategy.init(jnp.float32)
+    t0 = time.perf_counter()
+    loss = opt.optimize(steps=6, decreasing=1e-6, patience=2)
+    dt = time.perf_counter() - t0
+    log(f'[pgo-chain] 5000 poses, {edges.shape[0]} edges '
+        f'({opt.precond} precond): {len(opt.history)} steps in {dt:.3f}s, '
+        f'chi2 {opt.history[0]:.3e} -> {loss:.3e}')
+
+
 def main():
     log('devices:', jax.devices())
     ops_per_sec = microbench_lieops()
@@ -177,6 +209,10 @@ def main():
         bench_ba()
     except Exception as e:  # secondary metric must not kill the headline
         log('[ba] failed:', e)
+    try:
+        bench_pgo_chain()
+    except Exception as e:
+        log('[pgo-chain] failed:', e)
     elapsed, chi2 = bench_pgo_sphere2500()
     baseline = 5.0  # seconds (BASELINE.json: sphere2500 to ref chi2 < 5 s)
     print(json.dumps({
