@@ -64,8 +64,12 @@ class Factor:
     """
 
     def __init__(self, residual, indices, consts=None, weight=None,
-                 kernel=None):
+                 kernel=None, jacobian=None):
         self.residual = residual
+        # optional analytic jacobian(values, consts) -> (r, {name: J})
+        # with J shaped [d, arity, tan] per edge (vmapped internally);
+        # falls back to jacrev of the residual when None.
+        self.jacobian = jacobian
         self.indices = {k: jnp.asarray(v) for k, v in indices.items()}
         for k, v in self.indices.items():
             if v.ndim == 1:
@@ -232,6 +236,9 @@ class SparseLM:
     def _edge_r_jac(self, params, factor, fi=None):
         vals = self._gather(params, factor, fi)  # name -> [E, arity, D]
         names = list(factor.indices.keys())
+
+        if factor.jacobian is not None:
+            return jax.vmap(factor.jacobian)(vals, factor.consts)
 
         def one_edge(vals_e, consts_e):
             def f(eps):
@@ -622,8 +629,21 @@ def pgo_factor(edges, poses, infos=None, kernel=None, name='poses'):
         Xi, Xj = values[name][0], values[name][1]
         return (Z.Inv() @ (Xi.Inv() @ Xj)).Log().tensor()
 
+    def jacobian(values, Z):
+        """Closed form: with M = Z^-1 Xi^-1 and r = Log(M Xj),
+        dr/d(delta_j) = Jl^-1(r) Adj(M) and dr/d(delta_i) = -dr/d(delta_j)
+        (left-perturbation convention)."""
+        from ..lietensor.jacobian import se3_Jl_inv
+        from ..lietensor.operation import SE3_Adj
+        Xi, Xj = values[name][0], values[name][1]
+        M = Z.Inv() @ Xi.Inv()
+        r = (M @ Xj).Log().tensor()
+        Jj = jnp.matmul(se3_Jl_inv(r), SE3_Adj(M.tensor()), precision=_HI)
+        J = jnp.stack([-Jj, Jj], axis=1)          # [d, arity=2, tan]
+        return r, {name: J}
+
     return Factor(residual, indices={name: edges}, consts=poses,
-                  weight=infos, kernel=kernel)
+                  weight=infos, kernel=kernel, jacobian=jacobian)
 
 
 def split_chain_edges(edges, min_run=64):
