@@ -6,7 +6,9 @@ from . import kernel
 from . import corrector
 from . import strategy
 from . import scheduler
+from . import sparse
+from . import ba
 
 __all__ = ['GaussNewton', 'GN', 'LevenbergMarquardt', 'LM', 'RobustModel', 'batch_optimize', 'make_batch_optimizer',
            'modjac', 'modjacrev', 'modjacfwd', 'solver', 'kernel',
-           'corrector', 'strategy', 'scheduler']
+           'corrector', 'strategy', 'scheduler', 'sparse', 'ba']

@@ -64,18 +64,17 @@ def make_pgo_step(n_nodes, damping=1e-4, cg_iter=50, cg_tol=1e-6):
         return (Z.Inv() @ (Xi.Inv() @ Xj)).Log().tensor()
 
     def edge_r_jac(nodes_data, edges, Z_data):
+        # closed-form left-perturbation Jacobians: with M = Z^-1 Xi^-1 and
+        # r = Log(M Xj): J_j = Jl^-1(r) Adj(M), J_i = -J_j
+        from ..lietensor.jacobian import se3_Jl_inv
+        from ..lietensor.operation import SE3_Adj
         Xi = SE3(nodes_data[edges[:, 0]])
         Xj = SE3(nodes_data[edges[:, 1]])
         Z = SE3(Z_data)
-
-        def one(xi, xj, z):
-            def f(eps):
-                return residual(SE3(xi).add(eps[0]), SE3(xj).add(eps[1]),
-                                SE3(z))
-            eps0 = jnp.zeros((2, 6), dtype=nodes_data.dtype)
-            return f(eps0), jax.jacrev(f)(eps0)
-
-        r, J = jax.vmap(one)(Xi.tensor(), Xj.tensor(), Z.tensor())
+        M = Z.Inv() @ Xi.Inv()
+        r = (M @ Xj).Log().tensor()
+        Jj = jnp.matmul(se3_Jl_inv(r), SE3_Adj(M.tensor()), precision=_HI)
+        J = jnp.stack([-Jj, Jj], axis=2)
         return r, J  # r [E, 6]; J [E, 6, 2, 6]
 
     def step(nodes_data, edges, Z_data):
