@@ -8,7 +8,9 @@ from . import strategy
 from . import scheduler
 from . import sparse
 from . import ba
+from . import implicit
+from .implicit import least_squares
 
 __all__ = ['GaussNewton', 'GN', 'LevenbergMarquardt', 'LM', 'RobustModel', 'batch_optimize', 'make_batch_optimizer',
            'modjac', 'modjacrev', 'modjacfwd', 'solver', 'kernel',
-           'corrector', 'strategy', 'scheduler', 'sparse', 'ba']
+           'corrector', 'strategy', 'scheduler', 'sparse', 'ba', 'implicit', 'least_squares']
