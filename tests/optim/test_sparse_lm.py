@@ -186,3 +186,30 @@ def test_chain_preconditioner():
         loss_jac = opt2.step()
     assert loss_chain <= loss_jac * 1.5
     assert loss_chain < 0.05 * 100  # converged sanity
+
+
+def test_sim3_pose_graph():
+    """SparseLM is group-generic: Sim3 pose graph (scale drift) converges."""
+    N = 30
+    gt = pp.randn_Sim3(N, sigma=(0.6, 0.2, 0.1), key=jax.random.PRNGKey(21))
+    ii = jnp.arange(N - 1)
+    jj = ii + 1
+    edges = jnp.stack([ii, jj], -1)
+    Z = gt[ii].Inv() @ gt[jj]
+
+    def resid(values, Z):
+        Xi, Xj = values['poses'][0], values['poses'][1]
+        return (Z.Inv() @ (Xi.Inv() @ Xj)).Log().tensor()
+
+    factor = Factor(resid, indices={'poses': edges}, consts=Z)
+    init = pp.randn_Sim3(N, sigma=(0.1, 0.05, 0.02),
+                         key=jax.random.PRNGKey(22)) @ gt
+    init = pp.Sim3(init.tensor().at[0].set(gt.tensor()[0]))
+    fixed = {'poses': jnp.zeros(N, bool).at[0].set(True)}
+    opt = SparseLM({'poses': init}, [factor], fixed=fixed, cg_iter=100,
+                   cg_tol=1e-7)
+    for _ in range(10):
+        loss = opt.step()
+    assert loss < 1e-6
+    err = (opt.params['poses'].Inv() @ gt).Log().tensor()
+    assert float(jnp.abs(err).mean()) < 1e-3
