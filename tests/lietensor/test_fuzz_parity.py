@@ -1,0 +1,121 @@
+"""Randomized op-chain fuzzing against the PyTorch reference: random
+compositions of group ops evaluated in both frameworks must agree in value
+and left-convention gradient.  Skipped without /root/reference.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import pypose_tpu as pp
+
+REF = '/root/reference'
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+torch = pytest.importorskip('torch')
+ppref = pytest.importorskip('pypose')
+
+GROUPS = ['SO3', 'SE3', 'RxSO3', 'Sim3']
+ALG = {'SO3': 'so3', 'SE3': 'se3', 'RxSO3': 'rxso3', 'Sim3': 'sim3'}
+TAN = {'SO3': 3, 'SE3': 6, 'RxSO3': 4, 'Sim3': 7}
+
+# each program is a chain of ops applied to (X, aux) where X is the
+# differentiated group element
+OPS = ['inv', 'mul_right', 'mul_left', 'retr', 'act_sum', 'logexp',
+       'adj', 'adjT']
+
+
+def build_chain(rng, depth):
+    return [OPS[rng.integers(0, len(OPS))] for _ in range(depth)]
+
+
+def run_jax(chain, X, Y, a, p):
+    cur = X
+    acc = 0.0
+    for op in chain:
+        if op == 'inv':
+            cur = cur.Inv()
+        elif op == 'mul_right':
+            cur = cur @ Y
+        elif op == 'mul_left':
+            cur = Y @ cur
+        elif op == 'retr':
+            cur = cur.Retr(a)
+        elif op == 'act_sum':
+            acc = acc + jnp.sum(cur.Act(p) ** 2)
+        elif op == 'logexp':
+            cur = cur.Log().Exp()
+        elif op == 'adj':
+            acc = acc + jnp.sum(cur.Adj(a).tensor() ** 2)
+        elif op == 'adjT':
+            acc = acc + jnp.sum(cur.AdjT(a).tensor() ** 2)
+    return acc + jnp.sum(cur.Log().tensor() ** 2)
+
+
+def run_torch(chain, X, Y, a, p):
+    cur = X
+    acc = 0.0
+    for op in chain:
+        if op == 'inv':
+            cur = cur.Inv()
+        elif op == 'mul_right':
+            cur = cur @ Y
+        elif op == 'mul_left':
+            cur = Y @ cur
+        elif op == 'retr':
+            cur = cur.Retr(a)
+        elif op == 'act_sum':
+            acc = acc + (cur.Act(p) ** 2).sum()
+        elif op == 'logexp':
+            cur = cur.Log().Exp()
+        elif op == 'adj':
+            acc = acc + (cur.Adj(a).tensor() ** 2).sum()
+        elif op == 'adjT':
+            acc = acc + (cur.AdjT(a).tensor() ** 2).sum()
+    return acc + (cur.Log().tensor() ** 2).sum()
+
+
+@pytest.mark.parametrize('group', GROUPS)
+@pytest.mark.parametrize('seed', range(6))
+def test_random_chain_value_and_grad(group, seed):
+    rng = np.random.default_rng(seed * 17 + hash(group) % 1000)
+    depth = int(rng.integers(2, 6))
+    chain = build_chain(rng, depth)
+    n = 3
+    sigma = 0.25 if group == 'Sim3' else 0.5  # sim3 Jl series radius
+    tanX = (rng.normal(size=(n, TAN[group])) * sigma).astype(np.float32)
+    tanY = (rng.normal(size=(n, TAN[group])) * sigma).astype(np.float32)
+    av = (rng.normal(size=(n, TAN[group])) * 0.3).astype(np.float32)
+    pv = rng.normal(size=(n, 3)).astype(np.float32)
+
+    alg_j = getattr(pp, ALG[group] + '_type')
+    Xj = pp.LieTensor(jnp.asarray(tanX), ltype=alg_j).Exp()
+    Yj = pp.LieTensor(jnp.asarray(tanY), ltype=alg_j).Exp()
+    aj = pp.LieTensor(jnp.asarray(av), ltype=alg_j)
+    out_j, g_j = jax.value_and_grad(
+        lambda X: run_jax(chain, X, Yj, aj, jnp.asarray(pv)))(Xj)
+
+    Xt = ppref.Parameter(getattr(ppref, ALG[group])(
+        torch.from_numpy(tanX)).Exp())
+    Yt = getattr(ppref, ALG[group])(torch.from_numpy(tanY)).Exp()
+    at = getattr(ppref, ALG[group])(torch.from_numpy(av))
+    out_t = run_torch(chain, Xt, Yt, at, torch.from_numpy(pv))
+    out_t.backward()
+
+    np.testing.assert_allclose(float(out_j), float(out_t), rtol=2e-3,
+                               atol=1e-4, err_msg=f'value {chain}')
+    # AdjT gradients wrt X: the reference's backward is inconsistent for
+    # non-orthogonal adjoints (SE3/Sim3; operation.py:1047-1067 uses
+    # Adj(X) where the true transpose is Adj(X^-1)^T) — skip grad compare
+    # for chains that touch AdjT on those groups.
+    if 'adjT' in chain and group in ('SE3', 'Sim3', 'RxSO3'):
+        return
+    np.testing.assert_allclose(np.asarray(g_j.tensor()),
+                               Xt.grad.detach().numpy(), rtol=5e-3,
+                               atol=5e-3, err_msg=f'grad {chain}')
