@@ -198,6 +198,41 @@ def bench_pgo_chain():
         f'chi2 {opt.history[0]:.3e} -> {loss:.3e}')
 
 
+def bench_filters(T=1000):
+    """Secondary: EKF over a 1000-step rollout as one lax.scan program
+    (BASELINE config: filters on an NLS system, 1k-step rollout)."""
+    import jax.numpy as jnp
+    import pypose_tpu as pp
+    from pypose_tpu.module import NLS, EKF, filter_rollout
+
+    class Pendulum(NLS):
+        def state_transition(self, state, input, t=None):
+            th, om = state[..., 0], state[..., 1]
+            om = om + 0.05 * (-9.81 * jnp.sin(th) + input[..., 0])
+            return jnp.stack([th + 0.05 * om, om], axis=-1)
+
+        def observation(self, state, input, t=None):
+            return state
+
+    N = 2
+    Q = jnp.eye(N) * 1e-4
+    R = jnp.eye(N) * 1e-2
+    key = jax.random.PRNGKey(3)
+    us = jax.random.normal(key, (T, 1))
+    ys = jax.random.normal(jax.random.PRNGKey(4), (T, N)) * 0.1
+    filt = EKF(Pendulum(), Q, R)
+    run = jax.jit(lambda x0, P0, ys, us: filter_rollout(
+        filt, x0, P0, ys, us))
+    xs, Ps = run(jnp.zeros(N), jnp.eye(N), ys, us)
+    jax.block_until_ready(xs)
+    t0 = time.perf_counter()
+    xs, Ps = run(jnp.zeros(N), jnp.eye(N), ys, us)
+    jax.block_until_ready(xs)
+    dt = time.perf_counter() - t0
+    log(f'[ekf] {T}-step EKF rollout (scan, incl. per-step jacrev '
+        f'linearization): {dt*1e3:.1f} ms = {T/dt:.3e} steps/s')
+
+
 def main():
     log('devices:', jax.devices())
     ops_per_sec = microbench_lieops()
@@ -213,6 +248,10 @@ def main():
         bench_pgo_chain()
     except Exception as e:
         log('[pgo-chain] failed:', e)
+    try:
+        bench_filters()
+    except Exception as e:
+        log('[ekf] failed:', e)
     elapsed, chi2 = bench_pgo_sphere2500()
     baseline = 5.0  # seconds (BASELINE.json: sphere2500 to ref chi2 < 5 s)
     print(json.dumps({

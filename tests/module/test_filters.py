@@ -119,3 +119,32 @@ def test_ekf_batched():
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(Pv[b]), np.asarray(Pb),
                                    atol=1e-5)
+
+
+def test_filter_rollout_scan():
+    """Whole-trajectory EKF/UKF/PF as one jitted lax.scan."""
+    from pypose_tpu.module import UKF, filter_rollout
+    model = Sys()
+    T, N = 50, 2
+    key = jax.random.PRNGKey(30)
+    ks = jax.random.split(key, 3)
+    us = jax.random.normal(ks[0], (T, N))
+    # simulate
+    state = jnp.zeros(N)
+    ys = []
+    for i in range(T):
+        state, obs = model(state + 0.05 * jax.random.normal(
+            jax.random.fold_in(ks[1], i), (N,)), us[i])
+        ys.append(obs)
+    ys = jnp.stack(ys)
+    Q = jnp.eye(N) * 0.05 ** 2
+    R = jnp.eye(N) * 0.05 ** 2
+    for make in (lambda: EKF(Sys(), Q, R), lambda: UKF(Sys(), Q, R),
+                 lambda: PF(Sys(), Q, R, particles=200)):
+        filt = make()
+        xs, Ps = jax.jit(
+            lambda x0, P0, ys, us: filter_rollout(
+                filt, x0, P0, ys, us, key=ks[2]))(
+            jnp.zeros(N), jnp.eye(N), ys, us)
+        assert xs.shape == (T, N) and Ps.shape == (T, N, N)
+        assert np.isfinite(np.asarray(xs)).all()
