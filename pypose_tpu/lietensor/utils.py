@@ -52,7 +52,13 @@ def _randn_factory(ltype, name):
     def fn(*lsize, sigma=1.0, **kwargs):
         return ltype.randn(*lsize, sigma=sigma, **kwargs)
     fn.__name__ = name
-    fn.__doc__ = f"Random {ltype} LieTensor with given batch shape."
+    fn.__doc__ = (
+        f"Random {ltype} LieTensor with batch shape ``lsize``.\n\n"
+        "Algebra types sample a random axis scaled by N(0, sigma) angles\n"
+        "(per-channel sigma tuples supported where the reference supports\n"
+        "them: se3 (t, r), sim3 (t, r, s), rxso3 (r, s)); group types\n"
+        "sample the algebra and Exp it.  Pass ``key=jax.random.PRNGKey(n)``\n"
+        "for explicit randomness, else the global pp.seed stream is used.")
     return fn
 
 
@@ -99,13 +105,30 @@ def assert_ltype(func):
 
 @assert_ltype
 def Exp(input):
-    r"""Exponential map: Lie algebra -> Lie group.  Ref: utils.py:1355."""
+    r"""Exponential map: Lie algebra -> Lie group.  Ref: utils.py:1355.
+
+    .. math:: \mathrm{Exp}: \mathfrak{g} \to G
+
+    Shapes: so3 (*, 3) -> SO3 (*, 4); se3 (*, 6) -> SE3 (*, 7);
+    rxso3 (*, 4) -> RxSO3 (*, 5); sim3 (*, 7) -> Sim3 (*, 8).
+
+    Example:
+        >>> pp.Exp(pp.so3(jnp.zeros(3)))      # identity quaternion
+        SO3Type LieTensor: [0. 0. 0. 1.]
+    """
     return input.Exp()
 
 
 @assert_ltype
 def Log(input):
-    r"""Logarithm map: Lie group -> Lie algebra.  Ref: utils.py:1591."""
+    r"""Logarithm map: Lie group -> Lie algebra.  Ref: utils.py:1591.
+
+    Returns the left-trivialized tangent coordinates (shortest arc for the
+    quaternion double cover: Log(q) == Log(-q)).
+
+    Shapes: SO3 (*, 4) -> so3 (*, 3); SE3 (*, 7) -> se3 (*, 6);
+    RxSO3 (*, 5) -> rxso3 (*, 4); Sim3 (*, 8) -> sim3 (*, 7).
+    """
     return input.Log()
 
 
@@ -129,25 +152,41 @@ def Retr(X, a):
 
 @assert_ltype
 def Act(X, p):
-    r"""Group action on points (*, 3) or homogeneous (*, 4).  Ref: utils.py:2100."""
+    r"""Group action on points (*, 3) or homogeneous (*, 4).
+
+    SO3: R p;  SE3: R p + t;  RxSO3: s R p;  Sim3: s R p + t.
+    Batch dims broadcast.  Equivalent to ``X @ p``.  Ref: utils.py:2100.
+    """
     return X.Act(p)
 
 
 @assert_ltype
 def Adj(input, p):
-    r"""Adjoint action: Adj(X) @ p.  Ref: utils.py:2155."""
+    r"""Adjoint action: Adj(X) @ p, satisfying
+    ``X * Exp(p) == Exp(Adj(X, p)) * X``.  Ref: utils.py:2155.
+    """
     return input.Adj(p)
 
 
 @assert_ltype
 def AdjT(X, p):
-    r"""Inverse-adjoint action: Adj(X^{-1}) @ p.  Ref: utils.py:2382."""
+    r"""Inverse-adjoint action: Adj(X^{-1}) @ p, satisfying
+    ``Exp(p) * X == X * Exp(AdjT(X, p))``.
+
+    NOTE the reference's backward for this op uses Adj(X) where the true
+    transpose is Adj(X^{-1})^T (wrong for SE3/Sim3/RxSO3,
+    operation.py:1047-1067); this implementation's gradient is the
+    finite-difference-verified transpose of the forward.  Ref: utils.py:2382.
+    """
     return X.AdjT(p)
 
 
 @assert_ltype
 def Jinvp(input, p):
-    r"""Apply inverse left Jacobian: J^{-1}_l(Log(X)) @ p.  Ref: utils.py:2387."""
+    r"""Apply the inverse left Jacobian: J^{-1}_l(Log(X)) @ p — the
+    correction mapping group-level perturbations to algebra steps in
+    on-manifold optimization.  Ref: utils.py:2387.
+    """
     return input.Jinvp(p)
 
 
