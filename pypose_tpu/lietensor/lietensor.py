@@ -771,6 +771,24 @@ class LieTensor:
         from ..basics.ops import cumops
         return cumops(self, dim, ops)
 
+    # In-place variants (reference lietensor.py add_/cumprod_/cummul_/
+    # cumops_/identity_): JAX arrays are immutable, so these return the new
+    # value instead of mutating — rebind the result (``x = x.add_(a)``).
+    def add_(self, other, alpha=1):
+        return self.add(other, alpha)
+
+    def cumprod_(self, dim, left=True):
+        return self.cumprod(dim, left)
+
+    def cummul_(self, dim, left=True):
+        return self.cummul(dim, left)
+
+    def cumops_(self, dim, ops):
+        return self.cumops(dim, ops)
+
+    def identity_(self):
+        return self._ltype.identity_like(self)
+
 
 def retain_ltype():
     """No-op context manager for API parity.

@@ -66,3 +66,23 @@ def test_cumprod_jit_grad():
     g = jax.grad(loss)(X)
     assert g.shape == (8, 4)
     assert np.isfinite(np.asarray(g.tensor())).all()
+
+
+def test_inplace_aliases_return_new():
+    # JAX arrays are immutable: the reference's in-place variants are
+    # provided as returning-new aliases (ref basics/ops.py:27-205,
+    # lietensor.py add_/identity_).
+    import pypose_tpu as pp
+    X = pp.randn_SE3(4)
+    a = 0.1 * jnp.ones((4, 7))
+    assert jnp.allclose(X.add_(a).tensor(), X.add(a).tensor())
+    assert jnp.allclose(X.cumprod_(0).tensor(), X.cumprod(0).tensor())
+    assert jnp.allclose(X.cummul_(0).tensor(), X.cummul(0).tensor())
+    assert jnp.allclose(
+        X.cumops_(0, lambda x, y: x @ y).tensor(),
+        X.cumops(0, lambda x, y: x @ y).tensor())
+    I = X.identity_()
+    assert jnp.allclose(I.tensor()[..., :3], 0)
+    assert jnp.allclose(pp.add_(X, a).tensor(), pp.add(X, a).tensor())
+    # original unchanged
+    assert not jnp.allclose(X.tensor(), I.tensor())
