@@ -336,6 +336,10 @@ class BundleAdjustment:
         self.poses = SE3(T)
         self.points = X
         self.strategy_state = strat
+        # one host round-trip for all scalars (a blocking transfer costs
+        # ~20 ms through a remote-TPU tunnel; three of them dominated the
+        # step time)
+        loss, last, count = jax.device_get((loss, last, count))
         self.reject_count = int(count)
         self.last = float(last)
         self.loss = float(loss)

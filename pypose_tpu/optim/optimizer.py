@@ -215,6 +215,7 @@ class GaussNewton(_Optimizer):
         new_params, loss, last = self._compiled[key](
             params, input, target, weight)
         self._writeback(new_params)
+        loss, last = jax.device_get((loss, last))
         self.last = self.loss if self.loss is not None else float(last)
         self.loss = float(loss)
         return self.loss
@@ -313,6 +314,7 @@ class LevenbergMarquardt(_Optimizer):
             params, self.strategy_state, input, target, weight)
         self._writeback(new_params)
         self.strategy_state = strat_state
+        loss, last, count = jax.device_get((loss, last, count))
         self.reject_count = int(count)
         self.last = float(last)
         self.loss = float(loss)

@@ -565,6 +565,9 @@ class SparseLM:
             self.params, self.strategy_state)
         self.params = p
         self.strategy_state = strat
+        # single host round-trip for all scalars (each blocking transfer
+        # pays the full tunnel latency on remote TPUs)
+        loss, last, count = jax.device_get((loss, last, count))
         self.reject_count = int(count)
         self.last = float(last)
         self.loss = float(loss)
@@ -612,8 +615,9 @@ class SparseLM:
             self.params, self.strategy_state)
         self.params = p
         self.strategy_state = strat
+        loss, hist, nsteps = jax.device_get((loss, hist, nsteps))
         self.loss = float(loss)
-        self.history = [float(h) for h in np.asarray(hist)[:int(nsteps)]]
+        self.history = [float(h) for h in hist[:int(nsteps)]]
         return self.loss
 
 
