@@ -121,17 +121,17 @@ def bench_ba():
     ba = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
                           ds['pt_idx'], ds['pixels'], ds['cameras'],
                           fix_first_pose=True, cg_iter=40, cg_tol=1e-6)
-    loss = ba.step()  # compile
+    ba.optimize(steps=6, patience=6, decreasing=1e-3)  # compile
+    ba2 = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                           ds['pt_idx'], ds['pixels'], ds['cameras'],
+                           fix_first_pose=True, cg_iter=40, cg_tol=1e-6)
+    ba2._opt_cache = ba._opt_cache
     t0 = time.perf_counter()
-    steps = 0
-    prev = float('inf')
-    while steps < 10 and prev - loss > 1e-3 * max(1.0, loss):
-        prev = loss
-        loss = ba.step()
-        steps += 1
+    loss = ba2.optimize(steps=6, patience=6, decreasing=1e-3)
     dt = time.perf_counter() - t0
+    steps = len(ba2.history)
     log(f'[ba] {ds["poses"].lshape[0]} cams, {ds["points"].shape[0]} pts, '
-        f'{O} obs: {steps} warm steps in {dt:.3f}s '
+        f'{O} obs: {steps} device-side LM steps in {dt:.3f}s '
         f'({dt/max(steps,1)*1e3:.1f} ms/step), chi2 {loss:.4e}, '
         f'reproj RMSE {jnp.sqrt(loss/O):.4f} px')
 

@@ -78,8 +78,7 @@ def main():
                           pixels.reshape(-1, 2), cam_params,
                           residual=reproj_residual_pinhole,
                           fix_first_pose=True, cg_iter=40, cg_tol=1e-6)
-    for i in range(8):
-        chi2 = ba.step()
+    chi2 = ba.optimize(steps=8, patience=8, decreasing=0.0)
     O = C * P
     print(f'BA refined: chi2 {chi2:.4e} '
           f'(reproj RMSE {float(jnp.sqrt(chi2 / O)):.3f} px)')

@@ -344,3 +344,50 @@ class BundleAdjustment:
         self.last = float(last)
         self.loss = float(loss)
         return self.loss
+
+    def optimize(self, steps=10, patience=5, decreasing=1e-3):
+        """Run up to ``steps`` LM iterations fully on device — the outer
+        StopOnPlateau loop (scheduler.py:64-160 semantics) wraps ``_core``
+        in a ``lax.while_loop``, so the whole optimization costs ONE host
+        sync instead of one per step (device compute is ~14 ms/step for
+        64 cams/8k pts; a synced step pays ~40 ms of tunnel latency).
+        Returns the final chi2; per-step losses land in ``self.history``."""
+        if self.strategy_state is None:
+            self.strategy_state = self.strategy.init(self.points.dtype)
+
+        def run(T, X, strat):
+            hist0 = jnp.full((steps,), jnp.nan, dtype=jnp.float32)
+
+            def cond(st):
+                return (~st[-1]) & (st[4] < steps)
+
+            def body(st):
+                T0, X0, strat_s, hist, i, pat, _ = st
+                T1, X1, loss, last, strat2, count = self._core(
+                    T0, X0, strat_s)
+                hist = hist.at[i].set(loss.astype(jnp.float32))
+                pat2 = jnp.where(last - loss < decreasing, pat + 1,
+                                 jnp.zeros_like(pat))
+                stop = (pat2 >= patience) | (count > 0)
+                return (T1, X1, strat2, hist, i + 1, pat2, stop)
+
+            init = (T, X, strat, hist0, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(False))
+            T_f, X_f, strat_f, hist, nsteps, _, _ = jax.lax.while_loop(
+                cond, body, init)
+            return T_f, X_f, strat_f, hist, nsteps
+
+        key = ('optimize', steps, patience, decreasing)
+        if not hasattr(self, '_opt_cache'):
+            self._opt_cache = {}
+        if key not in self._opt_cache:
+            self._opt_cache[key] = jax.jit(run)
+        T, X, strat, hist, nsteps = self._opt_cache[key](
+            self.poses.tensor(), self.points, self.strategy_state)
+        self.poses = SE3(T)
+        self.points = X
+        self.strategy_state = strat
+        hist, nsteps = jax.device_get((hist, nsteps))
+        self.history = [float(h) for h in hist[:int(nsteps)]]
+        self.loss = self.history[-1] if self.history else None
+        return self.loss

@@ -85,3 +85,28 @@ def test_load_bal_roundtrip(tmp_path):
     expect_q = pp.so3(jnp.asarray(cams[:3])).Exp().tensor()
     np.testing.assert_allclose(np.asarray(ds['poses'].tensor()[0, 3:]),
                                np.asarray(expect_q), atol=1e-6)
+
+
+def test_ba_optimize_device_loop():
+    # whole-loop device-side optimize matches repeated step()
+    ds = synthetic_bal(n_cams=8, n_points=200, seed=3)
+    mk = lambda: BundleAdjustment(
+        ds['poses'], ds['points'], ds['cam_idx'], ds['pt_idx'],
+        ds['pixels'], ds['cameras'], fix_first_pose=True, cg_iter=30)
+    ba1, ba2 = mk(), mk()
+    for _ in range(6):
+        l1 = ba1.step()
+    l2 = ba2.optimize(steps=6, patience=6, decreasing=0.0)
+    assert len(ba2.history) >= 1
+    assert abs(l1 - l2) / max(abs(l1), 1e-12) < 1e-4, (l1, l2)
+    # f32 accumulation order differs between the two compiled programs
+    assert jnp.allclose(ba1.points, ba2.points, atol=1e-3)
+
+
+def test_ba_optimize_plateau_stops_early():
+    ds = synthetic_bal(n_cams=8, n_points=200, seed=4)
+    ba = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                          ds['pt_idx'], ds['pixels'], ds['cameras'],
+                          fix_first_pose=True, cg_iter=30)
+    ba.optimize(steps=30, patience=2, decreasing=1e-3)
+    assert len(ba.history) < 30
