@@ -81,3 +81,29 @@ def test_geodesic_loss():
     b = pp.randn_SO3(5, key=jax.random.PRNGKey(8))
     l2 = pp.module.geodesic_loss(a, b, reduction='mean')
     assert float(l2) > 0
+
+
+def test_icp_jit_vmap_grad():
+    # the device-side loop makes ICP jittable/vmap-able; gradients flow
+    # through the fixed-point Kabsch surrogate
+    import pypose_tpu as pp
+    from pypose_tpu.module import ICP
+
+    key = jax.random.PRNGKey(11)
+    src = jax.random.normal(key, (4, 60, 3))
+    T_gt = pp.randn_SE3(4, sigma=0.3, key=jax.random.PRNGKey(12))
+    tgt = T_gt.unsqueeze(-2).Act(src)
+
+    icp = ICP()
+    T_jit = jax.jit(lambda s, t: icp(s, t).tensor())(src, tgt)
+    err = (pp.SE3(T_jit).Inv() @ T_gt).Log().tensor()
+    assert float(jnp.abs(err).max()) < 1e-3
+
+    # vmap over a leading problem axis
+    T_vm = jax.vmap(lambda s, t: icp(s, t).tensor())(src, tgt)
+    err = (pp.SE3(T_vm).Inv() @ T_gt).Log().tensor()
+    assert float(jnp.abs(err).max()) < 1e-3
+
+    # grad w.r.t. source points is finite and nonzero
+    g = jax.grad(lambda s: jnp.sum(icp(s, tgt).tensor() ** 2))(src)
+    assert jnp.all(jnp.isfinite(g)) and float(jnp.abs(g).max()) > 0
