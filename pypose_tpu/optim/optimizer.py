@@ -320,6 +320,57 @@ class LevenbergMarquardt(_Optimizer):
         self.loss = float(loss)
         return self.loss
 
+    def optimize(self, input=None, target=None, weight=None, steps=10,
+                 patience=5, decreasing=1e-3):
+        """Device-side StopOnPlateau loop (scheduler.py:64-203 semantics:
+        patience on absolute decrease, quit on rejected step) around the
+        LM core — ONE host sync for the whole optimization instead of one
+        per step.  ``StopOnPlateau.optimize`` delegates here when not
+        verbose.  Returns the final loss; per-step losses in
+        ``self.history``."""
+        weight = self.weight if weight is None else weight
+        params = self._params()
+        if self.strategy_state is None:
+            dtype = jax.tree_util.tree_leaves(params)[0].dtype
+            self.strategy_state = self.strategy.init(dtype)
+
+        def run(params, strat, input, target, weight):
+            hist0 = jnp.full((steps,), jnp.nan, dtype=jnp.float32)
+
+            def cond(st):
+                return (~st[-1]) & (st[4] < steps)
+
+            def body(st):
+                p, strat_s, _, hist, i, pat, _ = st
+                p2, loss, last, strat2, count = self._core(
+                    p, strat_s, input, target, weight)
+                hist = hist.at[i].set(loss.astype(jnp.float32))
+                pat2 = jnp.where(last - loss < decreasing, pat + 1,
+                                 jnp.zeros_like(pat))
+                stop = (pat2 >= patience) | (count > 0)
+                return (p2, strat2, loss, hist, i + 1, pat2, stop)
+
+            init = (params, strat, jnp.asarray(jnp.inf, jnp.float32),
+                    hist0, jnp.asarray(0, jnp.int32),
+                    jnp.asarray(0, jnp.int32), jnp.asarray(False))
+            p, strat_f, loss, hist, nsteps, _, _ = jax.lax.while_loop(
+                cond, body, init)
+            return p, strat_f, loss, hist, nsteps
+
+        key = ('optimize', steps, patience, decreasing,
+               self._key(input, target, weight))
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(run)
+        p, strat, loss, hist, nsteps = self._compiled[key](
+            params, self.strategy_state, input, target, weight)
+        self._writeback(p)
+        self.strategy_state = strat
+        loss, hist, nsteps = jax.device_get((loss, hist, nsteps))
+        self.history = [float(h) for h in hist[:int(nsteps)]]
+        self.loss = float(loss)
+        self.last = self.history[-2] if len(self.history) > 1 else None
+        return self.loss
+
 
 LM = LevenbergMarquardt
 

@@ -78,8 +78,22 @@ class StopOnPlateau(_Scheduler):
                 print('StopOnPlateau: Maximum rejected steps reached, '
                       'Quitting..')
 
-    def optimize(self, input, target=None, weight=None):
-        """Full optimization loop.  Ref: scheduler.py:162-203."""
+    def optimize(self, input=None, target=None, weight=None):
+        """Full optimization loop.  Ref: scheduler.py:162-203.
+
+        When the optimizer exposes a device-side ``optimize`` (the LM
+        family does) and this scheduler is not verbose, the whole loop
+        runs on device with a single host sync; otherwise it falls back
+        to host-stepping (one sync per step, with printing)."""
+        if not self.verbose and hasattr(self.optimizer, 'optimize'):
+            remaining = self.max_steps - self.steps
+            loss = self.optimizer.optimize(
+                input, target, weight, steps=remaining,
+                patience=self.patience, decreasing=self.decreasing)
+            self.steps += len(getattr(self.optimizer, 'history', [])) \
+                or remaining
+            self._continual = False
+            return loss
         while self.continual():
             loss = self.optimizer.step(input, target, weight)
             self.step(loss)

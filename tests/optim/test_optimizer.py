@@ -171,3 +171,33 @@ def test_batch_optimize():
     # every problem recovered its own inverse pose
     est = params['pose']
     assert est.shape == (B, 1, 6)
+
+
+def test_scheduler_device_delegation_matches_host():
+    # StopOnPlateau.optimize delegates to the device-side LM.optimize when
+    # not verbose; both paths must produce the same losses and parameters
+    def make():
+        class PoseInv(pp.Module):
+            def __init__(self):
+                super().__init__()
+                self.pose = pp.Parameter(
+                    pp.randn_se3(2, 2, key=jax.random.PRNGKey(0)))
+
+            def forward(self, input):
+                return (self.pose.Exp() @ input).Log().tensor()
+        m = PoseInv()
+        o = pp.optim.LM(m, strategy=pp.optim.strategy.TrustRegion(radius=1e4))
+        return m, o
+
+    tgt = pp.randn_SE3(2, 2, key=jax.random.PRNGKey(1))
+    m1, o1 = make()
+    l1 = pp.optim.scheduler.StopOnPlateau(o1, steps=10, patience=3).optimize(
+        input=tgt)
+    m2, o2 = make()
+    s2 = pp.optim.scheduler.StopOnPlateau(o2, steps=10, patience=3,
+                                          verbose=False)
+    # force host loop by stepping manually
+    while s2.continual():
+        s2.step(o2.step(tgt))
+    assert l1 < 1e-10 and o2.loss < 1e-10
+    assert jnp.allclose(m1.pose.tensor(), m2.pose.tensor(), atol=1e-5)
