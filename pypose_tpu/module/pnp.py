@@ -15,7 +15,6 @@ from ..function.linalg import bmv
 from ..function.geometry import cart2homo, reprojerr, svdtf
 from ..optim.optimizer import GaussNewton
 from ..optim.solver import LSTSQ
-from ..optim.scheduler import StopOnPlateau
 
 
 class BetaObjective(Module):
@@ -52,6 +51,16 @@ class EPnP(Module):
         assert pixels.shape[-2] == points.shape[-2] >= 4, \
             'Number of points/pixels cannot be smaller than 4.'
         intrinsics = self.intrinsics if intrinsics is None else intrinsics
+        # the solve is a large eager op graph (SVDs, eigh, candidate
+        # selection); cache one jitted program so repeated calls do not
+        # re-dispatch/re-trace it op by op
+        if not hasattr(self, '_compiled'):
+            self._compiled = jax.jit(
+                lambda pts, pix, K: self._solve(pts, pix, K).tensor())
+        from ..lietensor.utils import SE3
+        return SE3(self._compiled(points, pixels, intrinsics))
+
+    def _solve(self, points, pixels, intrinsics):
         bases = self._svd_basis(points)
         alpha = self._compute_alpha(points, bases)
         nullv = self._compute_nullv(pixels, alpha, intrinsics)
@@ -90,13 +99,17 @@ class EPnP(Module):
         return SE3(sel(poses.tensor())), sel(betas), sel(scales)
 
     def _refine(self, beta, nullv, bases):
-        """GN refinement with straight-through gradients.  Ref: pnp.py:103-112."""
+        """GN refinement with straight-through gradients.  Ref: pnp.py:103-112.
+
+        Uses the GN optimizer's pure loop core (trace-safe) so the whole
+        refinement inlines into the jitted EPnP program."""
         model = BetaObjective(jax.lax.stop_gradient(beta))
         optim = GaussNewton(model, solver=LSTSQ())
-        scheduler = StopOnPlateau(optim, steps=10, patience=3)
-        scheduler.optimize(input=(jax.lax.stop_gradient(bases),
-                                  jax.lax.stop_gradient(nullv)))
-        refined = model.parameters()['beta']
+        inp = (jax.lax.stop_gradient(bases), jax.lax.stop_gradient(nullv))
+        p, _, _, _ = optim._optimize_run(optim._params(), inp, None, None,
+                                         steps=10, patience=3,
+                                         decreasing=1e-3)
+        refined = p['beta']
         refined = refined.tensor() if hasattr(refined, 'tensor') else refined
         return beta + jax.lax.stop_gradient(refined - beta)
 

@@ -220,6 +220,54 @@ class GaussNewton(_Optimizer):
         self.loss = float(loss)
         return self.loss
 
+    def _optimize_run(self, params, input, target, weight, steps,
+                      patience, decreasing):
+        """Pure device-side StopOnPlateau loop around the GN core —
+        traceable, so it can be inlined inside a larger jit (EPnP's
+        beta refinement does this)."""
+        hist0 = jnp.full((steps,), jnp.nan, dtype=jnp.float32)
+
+        def cond(st):
+            return (~st[-1]) & (st[3] < steps)
+
+        def body(st):
+            p, last, hist, i, pat, _ = st
+            p2, loss, _ = self._core(p, input, target, weight)
+            hist = hist.at[i].set(loss.astype(jnp.float32))
+            pat2 = jnp.where(last - loss < decreasing, pat + 1,
+                             jnp.zeros_like(pat))
+            return (p2, loss.astype(jnp.float32), hist, i + 1, pat2,
+                    pat2 >= patience)
+
+        init = (params, jnp.asarray(jnp.inf, jnp.float32), hist0,
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False))
+        p, loss, hist, nsteps, _, _ = jax.lax.while_loop(cond, body, init)
+        return p, loss, hist, nsteps
+
+    def optimize(self, input=None, target=None, weight=None, steps=10,
+                 patience=5, decreasing=1e-3):
+        """Device-side StopOnPlateau loop around the GN core (one host
+        sync total); ``StopOnPlateau.optimize`` delegates here when not
+        verbose.  Returns the final loss; per-step losses in
+        ``self.history``."""
+        weight = self.weight if weight is None else weight
+        params = self._params()
+        key = ('optimize', steps, patience, decreasing,
+               self._key(input, target, weight))
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                lambda p, i, t, w: self._optimize_run(
+                    p, i, t, w, steps, patience, decreasing))
+        p, loss, hist, nsteps = self._compiled[key](
+            params, input, target, weight)
+        self._writeback(p)
+        loss, hist, nsteps = jax.device_get((loss, hist, nsteps))
+        self.history = [float(h) for h in hist[:int(nsteps)]]
+        self.loss = float(loss)
+        self.last = self.history[-2] if len(self.history) > 1 else None
+        return self.loss
+
 
 GN = GaussNewton
 
