@@ -66,11 +66,6 @@ class IMUPreintegrator(Module):
 
         if init_state is None:
             init_state = {'pos': self.pos, 'rot': self.rot, 'vel': self.vel}
-
-        inte_state = self.integrate(dt, gyro, acc, rot=rot,
-                                    init_rot=init_state['rot'])
-        predict = self.predict(init_state, inte_state)
-
         if self.prop_cov:
             if gyro_cov is None:
                 gyro_cov = jnp.tile(self.gyro_cov, (B, 1, 1))
@@ -80,12 +75,42 @@ class IMUPreintegrator(Module):
                 init_cov = jnp.broadcast_to(self.cov, (B, 9, 9))
             else:
                 init_cov = init_state['cov']
-            Rij = init_state.get('Rij', self.Rij)
+        else:
+            init_cov = None
+        Rij_prev = init_state.get('Rij', self.Rij)
+
+        # one cached compiled program per argument structure (None-ness of
+        # rot/Rij changes the pytree structure, so jax.jit re-specializes
+        # transparently); the reference dispatches the scans eagerly
+        import jax
+        if not hasattr(self, '_compiled'):
+            self._compiled = jax.jit(self._core)
+        base = {k: init_state[k] for k in ('pos', 'rot', 'vel')}
+        predict, cov, Rij = self._compiled(
+            dt, gyro, acc, rot, gyro_cov, acc_cov, base, init_cov,
+            Rij_prev)
+
+        if not self.reset:
+            self.pos = predict['pos'][..., -1:, :]
+            self.rot = predict['rot'][..., -1:, :]
+            self.vel = predict['vel'][..., -1:, :]
+            self.cov = cov['cov']
             if Rij is not None:
-                Rij = Rij * inte_state['Dr']
+                self.Rij = Rij[..., -1:, :]
+        return {**predict, **cov}
+
+    def _core(self, dt, gyro, acc, rot, gyro_cov, acc_cov, init_state,
+              init_cov, Rij_prev):
+        """Pure preintegration pipeline (integrate -> predict -> cov)."""
+        import jax
+        inte_state = self.integrate(dt, gyro, acc, rot=rot,
+                                    init_rot=init_state['rot'])
+        predict = self.predict(init_state, inte_state)
+        if self.prop_cov:
+            if Rij_prev is not None:
+                Rij = Rij_prev * inte_state['Dr']
             else:
                 Rij = inte_state['Dr']
-            import jax
             sg = jax.lax.stop_gradient
             cov_input = {
                 'Rij': LieTensor(sg(Rij.tensor()), ltype=Rij.ltype),
@@ -97,15 +122,7 @@ class IMUPreintegrator(Module):
         else:
             Rij = None
             cov = {'cov': None}
-
-        if not self.reset:
-            self.pos = predict['pos'][..., -1:, :]
-            self.rot = predict['rot'][..., -1:, :]
-            self.vel = predict['vel'][..., -1:, :]
-            self.cov = cov['cov']
-            if Rij is not None:
-                self.Rij = Rij[..., -1:, :]
-        return {**predict, **cov}
+        return predict, cov, Rij
 
     def integrate(self, dt, gyro, acc, rot=None, init_rot=None):
         """Delta terms via cumulative SO3 product + cumsums.
