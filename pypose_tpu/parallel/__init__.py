@@ -201,6 +201,7 @@ class ShardedBA:
                  cg_tol=1e-6):
         self.mesh = make_mesh() if mesh is None else mesh
         C, Pn = poses.lshape[0], points.shape[0]
+        self._step_args = (C, Pn, damping, cg_iter, cg_tol)
         self._step = jax.jit(make_ba_step(C, Pn, damping, cg_iter, cg_tol))
         cameras = jnp.asarray(cameras)
         if cameras.shape[0] == C:
@@ -236,6 +237,32 @@ class ShardedBA:
             self.pixels, self.cameras)
         return float(chi2)
 
+    def run(self, steps):
+        """``steps`` sharded LM iterations as ONE compiled program (a
+        ``lax.fori_loop`` around the step body): a single dispatch + host
+        sync for the whole optimization.  Returns per-step chi2 history."""
+        if not hasattr(self, '_run_cache'):
+            self._run_cache = {}
+        if steps not in self._run_cache:
+            body = make_ba_step(*self._step_args)
+
+            def run(T, X, ci, pi, pix, cams):
+                hist0 = jnp.zeros((steps,), jnp.float32)
+
+                def f(i, st):
+                    T, X, hist = st
+                    T, X, chi2 = body(T, X, ci, pi, pix, cams)
+                    return (T, X, hist.at[i].set(chi2.astype(jnp.float32)))
+
+                return jax.lax.fori_loop(0, steps, f, (T, X, hist0))
+
+            self._run_cache[steps] = jax.jit(run)
+        self.poses, self.points, hist = self._run_cache[steps](
+            self.poses, self.points, self.cam_idx, self.pt_idx,
+            self.pixels, self.cameras)
+        self.history = [float(h) for h in jax.device_get(hist)]
+        return self.history[-1]
+
 
 class ShardedPGO:
     """Pose-graph optimization sharded over a device mesh.
@@ -250,6 +277,7 @@ class ShardedPGO:
                  node_axis=None, damping=1e-4, cg_iter=50, cg_tol=1e-6):
         self.mesh = make_mesh() if mesh is None else mesh
         n = nodes.lshape[0]
+        self._step_args = (n, damping, cg_iter, cg_tol)
         self._step = jax.jit(make_pgo_step(n, damping, cg_iter, cg_tol))
         # pad edges to a mesh multiple with (0, 0) self-loops measuring
         # identity: residual is exactly zero, and node 0 is gauge-fixed so
@@ -278,6 +306,30 @@ class ShardedPGO:
     def step(self):
         self.nodes, chi2 = self._step(self.nodes, self.edges, self.poses)
         return float(chi2)
+
+    def run(self, steps):
+        """``steps`` sharded LM iterations as ONE compiled program
+        (single dispatch + host sync).  Returns per-step chi2 history."""
+        if not hasattr(self, '_run_cache'):
+            self._run_cache = {}
+        if steps not in self._run_cache:
+            body = make_pgo_step(*self._step_args)
+
+            def run(nodes, edges, poses):
+                hist0 = jnp.zeros((steps,), jnp.float32)
+
+                def f(i, st):
+                    nodes, hist = st
+                    nodes, chi2 = body(nodes, edges, poses)
+                    return (nodes, hist.at[i].set(chi2.astype(jnp.float32)))
+
+                return jax.lax.fori_loop(0, steps, f, (nodes, hist0))
+
+            self._run_cache[steps] = jax.jit(run)
+        self.nodes, hist = self._run_cache[steps](
+            self.nodes, self.edges, self.poses)
+        self.history = [float(h) for h in jax.device_get(hist)]
+        return self.history[-1]
 
     @property
     def result(self):

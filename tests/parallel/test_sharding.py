@@ -102,3 +102,33 @@ def test_sharded_ba_matches_single_device():
                     jnp.asarray(ds['pt_idx']), jnp.asarray(ds['pixels']),
                     cams)
     np.testing.assert_allclose(chi1, float(c1), rtol=1e-3, atol=1e-2)
+
+
+def test_sharded_run_matches_steps():
+    # run(steps) == N x step(), one compiled program on the mesh
+    from pypose_tpu.parallel import ShardedPGO, make_mesh
+    from pypose_tpu.datasets import synthetic_sphere
+    ds = synthetic_sphere(60, seed=3)
+    mesh = make_mesh()
+    a = ShardedPGO(ds['nodes'], ds['edges'], ds['poses'], mesh=mesh)
+    b = ShardedPGO(ds['nodes'], ds['edges'], ds['poses'], mesh=mesh)
+    for _ in range(4):
+        la = a.step()
+    lb = b.run(4)
+    assert len(b.history) == 4
+    # two separately compiled programs: f32 fusion order differs
+    assert abs(la - lb) / max(abs(la), 1e-12) < 1e-2, (la, lb)
+    assert jnp.allclose(a.nodes, b.nodes, atol=1e-2, rtol=0)
+
+
+def test_sharded_ba_run():
+    from pypose_tpu.parallel import ShardedBA, make_mesh
+    from pypose_tpu.datasets import synthetic_bal
+    ds = synthetic_bal(n_cams=8, n_points=100, seed=6)
+    mesh = make_mesh()
+    ba = ShardedBA(ds['poses'], ds['points'], ds['cam_idx'], ds['pt_idx'],
+                   ds['pixels'], ds['cameras'], mesh=mesh)
+    c0 = ba.step()
+    c1 = ba.run(3)
+    assert c1 <= c0 * 1.01
+    assert len(ba.history) == 3
