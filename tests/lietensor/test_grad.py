@@ -61,10 +61,10 @@ def test_grad_zero_tail(randn_G, randn_g, dim, man):
 @pytest.mark.parametrize('op', ['Log', 'Inv', 'Act', 'Act4', 'Mul_left',
                                 'Mul_right', 'Adj', 'AdjT'])
 def test_jvp_matches_finite_difference(randn_G, randn_g, dim, man, op):
-    # sim3's Jl/Jl_inv are truncated series in the reference
-    # (operation.py:159-172), accurate only for moderate tangents — keep the
-    # Sim3 test inside the series' radius.
-    sigma = 0.3 if dim == 8 else 0.8
+    # sim3's Jl/Jl_inv are exact (scaling-and-squaring on the adjoint
+    # integral) — unlike the reference's truncated series
+    # (operation.py:159-172), no radius cap is needed.
+    sigma = 0.8
     X = randn_G(3, sigma=sigma, key=key(2))
     Y = randn_G(3, sigma=sigma, key=key(3))
     p3 = jax.random.normal(key(4), (3, 3))
@@ -95,8 +95,7 @@ def test_jvp_matches_finite_difference(randn_G, randn_g, dim, man, op):
 
 @pytest.mark.parametrize('randn_G,randn_g,dim,man', GROUPS)
 def test_exp_jvp_fd(randn_G, randn_g, dim, man):
-    # sim3's Jl is a truncated series in the reference (operation.py:159-164)
-    sigma = 0.2 if dim == 8 else 0.6
+    sigma = 0.6
     x = randn_g(3, sigma=sigma, key=key(7))
     dx = jax.random.normal(key(8), (3, man))
     out, tan = jax.jvp(lambda v: pp.LieTensor(v, ltype=x.ltype).Exp().tensor(),
@@ -182,3 +181,55 @@ def test_second_order_does_not_nan():
     h0 = jax.grad(lambda v: jnp.sum(jax.grad(loss)(v) ** 2))(
         jnp.zeros((3, 3)))
     assert np.isfinite(np.asarray(h0)).all()
+
+
+def test_sim3_jl_exact_wide_tangent():
+    """sim3_Jl/Jl_inv are exact at large tangent norms (the reference's
+    truncated series, operation.py:159-172, degrades past ~0.5): FD-check
+    Sim3 Exp/Log JVPs at tangent norm ~2 in f64, and pin the defining
+    identities exp(ad) = I + ad @ Jl, Jl @ Jl_inv = I."""
+    from pypose_tpu.lietensor.jacobian import sim3_Jl, sim3_Jl_inv, sim3_adj
+    import jax
+
+    with jax.enable_x64(True):
+        rng = np.random.default_rng(12)
+        x = rng.normal(size=(5, 7))
+        x = x / np.linalg.norm(x, axis=-1, keepdims=True) * 2.0
+        xj = jnp.asarray(x)
+
+        J = np.asarray(sim3_Jl(xj))
+        Jinv = np.asarray(sim3_Jl_inv(xj))
+        eye = np.broadcast_to(np.eye(7), (5, 7, 7))
+        np.testing.assert_allclose(J @ Jinv, eye, atol=1e-12)
+
+        # exp(ad) = I + ad @ Jl (defining identity of the left Jacobian)
+        ad = np.asarray(sim3_adj(xj))
+        expm_ref = np.stack([_np_expm(a) for a in ad])
+        np.testing.assert_allclose(eye + ad @ J, expm_ref, atol=1e-10)
+
+        # FD check of the Exp JVP at norm 2
+        alg = pp.sim3(xj)
+        dx = jnp.asarray(rng.normal(size=(5, 7)))
+        _, tan = jax.jvp(lambda v: pp.sim3(v).Exp().tensor(), (xj,), (dx,))
+        eps = 1e-6
+        X0 = alg.Exp()
+        hi = (pp.sim3(xj + eps * dx).Exp() @ X0.Inv()).Log().tensor()
+        lo = (pp.sim3(xj - eps * dx).Exp() @ X0.Inv()).Log().tensor()
+        fd = (np.asarray(hi) - np.asarray(lo)) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(tan[..., :7]), fd,
+                                   rtol=1e-5, atol=1e-6)
+
+
+def _np_expm(a, terms=60):
+    """Series matrix exponential with scaling-and-squaring (independent of
+    jax; avoids a scipy dependency)."""
+    n = 8
+    b = a / 2.0 ** n
+    acc = np.eye(a.shape[0])
+    term = np.eye(a.shape[0])
+    for k in range(1, terms):
+        term = term @ b / k
+        acc = acc + term
+    for _ in range(n):
+        acc = acc @ acc
+    return acc
