@@ -1,22 +1,29 @@
 r"""Discrete-time (iterative) LQR.
 
-Ref: pypose/module/lqr.py.  The backward Riccati recursion and the forward
-rollout are sequential in T; both run as Python loops over jitted system
-calls here (each step linearizes via NLS jacrev).  For LTI systems the
-whole forward is jit-compatible.
+Ref: pypose/module/lqr.py (forward :284-308, backward :310-355, rollout
+:357-380).  TPU-native design: both the reverse Riccati recursion and the
+forward rollout are single ``lax.scan`` programs carrying ``(V, v)`` /
+``(x, cost)``, so trace/compile time is O(1) in the horizon T (the
+reference — and this module's first version — unrolled T host steps,
+making T=512 horizons compile-hostile).  Per-step linearization happens
+functionally inside the scan body (no module-state mutation, which would
+leak tracers across separately-compiled programs).
 """
 
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 from ..nn import Module
 from ..function.linalg import bmv, bvmv
-from .dynamics import runsys
+from .dynamics import LTI
 
 
 class LQR(Module):
     r"""LQR with quadratic cost Q (stage cost over [x; u]) and linear cost p.
 
-    Ref: lqr.py:8-380 (forward :284-308, backward :310-355, rollout :357-380).
+    Ref: lqr.py:8-380.  ``u_lower``/``u_upper``/``du`` are accepted for API
+    parity but unused, matching the reference (lqr.py:284-308 ignores them).
     """
 
     def __init__(self, system, Q, p, T):
@@ -41,11 +48,50 @@ class LQR(Module):
         x, u, cost = self.lqr_forward(x_init, K, k, u_lower, u_upper, du)
         return x, u, cost
 
+    def _time(self, t, dt=None):
+        return t if dt is None else t * dt
+
+    def _linearize(self, x, u, t):
+        """Functional (A, B) at (x, u, t) — scan-body safe.
+
+        LTI/LTV systems expose A/B as (possibly ``systime``-indexed)
+        properties: read them with ``_t`` temporarily set to the traced t
+        (restored immediately, so no tracer survives the trace).  Other
+        systems (NLS, user Systems) linearize by jacrev of
+        ``state_transition`` — the same jacobians NLS.set_refpoint exposes
+        (dynamics.py:535-559 in the reference), computed without mutating
+        the module.
+        """
+        sys = self.system
+        if isinstance(sys, LTI):
+            saved = sys._t
+            sys.systime = t
+            A, B = _sq(sys.A), _sq(sys.B)
+            sys._t = saved
+            return A, B
+        A = _sq(jax.jacrev(lambda a: sys.state_transition(a, u, t))(x))
+        B = _sq(jax.jacrev(lambda b: sys.state_transition(x, b, t))(u))
+        return A, B
+
+    def _step(self, x, u, t):
+        """Functional state transition (no forward-hook time mutation)."""
+        sys = self.system
+        if isinstance(sys, LTI):
+            saved = sys._t
+            sys.systime = t
+            out = sys.state_transition(x, u, t)
+            sys._t = saved
+            return out
+        return sys.state_transition(x, u, t)
+
     def lqr_backward(self, x_init, dt, u_traj=None, u_lower=None,
                      u_upper=None, du=None):
-        """Reverse Riccati recursion with per-step linearization.
+        """Reverse Riccati recursion as ONE ``lax.scan`` (reverse=True)
+        with per-step linearization inside the body.
 
-        Ref: lqr.py:310-355.
+        Ref: lqr.py:310-355.  Initializing the carry (V, v) = 0 makes the
+        body uniform: at t = T-1 the F-terms vanish exactly, reproducing
+        the reference's terminal special case.
         """
         ns, nsc = x_init.shape[-1], self.p.shape[-1]
         nc = nsc - ns
@@ -54,64 +100,78 @@ class LQR(Module):
                                     dtype=self.dtype)
         else:
             self.u_traj = jnp.asarray(u_traj)
-        x0 = jnp.broadcast_to(x_init[..., None, :],
-                              self.n_batch + (self.T, ns))
-        self.x_traj = runsys(self.system, self.T, x0, self.u_traj)
+        xb = jnp.broadcast_to(x_init, self.n_batch + (ns,))
+        us_s = jnp.moveaxis(self.u_traj, -2, 0)         # (T, *B, nc)
+        ts = jnp.arange(self.T)
 
-        Ks, ks = [None] * self.T, [None] * self.T
-        xut = jnp.concatenate(
-            [self.x_traj[..., :self.T, :], self.u_traj], axis=-1)
+        def roll(xt, tu):
+            t, ut = tu
+            return self._step(xt, ut, self._time(t, dt)), xt
+
+        _, xs_s = lax.scan(roll, xb, (ts, us_s))        # (T, *B, ns)
+        self.x_traj = jnp.moveaxis(xs_s, 0, -2)
+
+        xut = jnp.concatenate([self.x_traj, self.u_traj], axis=-1)
         p = bmv(self.Q, xut) + self.p
 
-        V = v = None
-        for t in range(self.T - 1, -1, -1):
-            if t == self.T - 1:
-                Qt = self.Q[..., t, :, :]
-                qt = p[..., t, :]
-            else:
-                self.system.set_refpoint(
-                    state=self.x_traj[..., t, :],
-                    input=self.u_traj[..., t, :],
-                    t=jnp.asarray(t if dt is None else t * dt))
-                A = _sq(self.system.A)
-                B = _sq(self.system.B)
-                F = jnp.concatenate([A, B], axis=-1)
-                Qt = self.Q[..., t, :, :] + jnp.swapaxes(F, -1, -2) @ V @ F
-                qt = p[..., t, :] + bmv(jnp.swapaxes(F, -1, -2), v)
+        Qs = jnp.moveaxis(self.Q, -3, 0)                # (T, *B, nsc, nsc)
+        ps = jnp.moveaxis(p, -2, 0)                     # (T, *B, nsc)
+
+        def body(carry, inp):
+            V, v = carry
+            t, Qt0, pt, xt, ut = inp
+            A, B = self._linearize(xt, ut, self._time(t, dt))
+            F = jnp.concatenate([A, B], axis=-1)
+            Ft = jnp.swapaxes(F, -1, -2)
+            Qt = Qt0 + Ft @ V @ F
+            qt = pt + bmv(Ft, v)
             Qxx, Qxu = Qt[..., :ns, :ns], Qt[..., :ns, ns:]
             Qux, Quu = Qt[..., ns:, :ns], Qt[..., ns:, ns:]
             qx, qu = qt[..., :ns], qt[..., ns:]
             L = jnp.linalg.cholesky(Quu)
             Kt = -_cho_solve(L, Qux)
             kt = -_cho_solve(L, qu[..., None])[..., 0]
-            Ks[t], ks[t] = Kt, kt
-            V = Qxx + Qxu @ Kt + jnp.swapaxes(Kt, -1, -2) @ Qux \
-                + jnp.swapaxes(Kt, -1, -2) @ Quu @ Kt
-            v = qx + bmv(Qxu, kt) + bmv(jnp.swapaxes(Kt, -1, -2), qu) \
-                + bmv(jnp.swapaxes(Kt, -1, -2) @ Quu, kt)
-        K = jnp.stack(Ks, axis=-3)
-        k = jnp.stack(ks, axis=-2)
+            KtT = jnp.swapaxes(Kt, -1, -2)
+            V = Qxx + Qxu @ Kt + KtT @ Qux + KtT @ Quu @ Kt
+            v = qx + bmv(Qxu, kt) + bmv(KtT, qu) + bmv(KtT @ Quu, kt)
+            return (V, v), (Kt, kt)
+
+        V0 = jnp.zeros(self.n_batch + (ns, ns), self.dtype)
+        v0 = jnp.zeros(self.n_batch + (ns,), self.dtype)
+        _, (Ks, ks) = lax.scan(body, (V0, v0), (ts, Qs, ps, xs_s, us_s),
+                               reverse=True)
+        K = jnp.moveaxis(Ks, 0, -3)
+        k = jnp.moveaxis(ks, 0, -2)
         return K, k
 
     def lqr_forward(self, x_init, K, k, u_lower=None, u_upper=None, du=None):
-        """Rollout accumulating quadratic cost.  Ref: lqr.py:357-380."""
+        """Rollout accumulating quadratic cost as ONE ``lax.scan`` carrying
+        (x, cost).  Ref: lqr.py:357-380."""
         assert x_init.ndim == 2, 'Shape not compatible.'
-        ns, nc = self.x_traj.shape[-1], self.u_traj.shape[-1]
-        us, xs = [], [x_init]
-        cost = jnp.zeros(self.n_batch, dtype=self.dtype)
-        xt = x_init
-        for t in range(self.T):
-            Kt, kt = K[..., t, :, :], k[..., t, :]
-            delta_xt = xt - self.x_traj[..., t, :]
-            ut = bmv(Kt, delta_xt) + kt + self.u_traj[..., t, :]
-            us.append(ut)
+        ts = jnp.arange(self.T)
+        Ks = jnp.moveaxis(K, -3, 0)
+        ks = jnp.moveaxis(k, -2, 0)
+        xref = jnp.moveaxis(self.x_traj, -2, 0)
+        uref = jnp.moveaxis(self.u_traj, -2, 0)
+        Qs = jnp.moveaxis(self.Q, -3, 0)
+        ps = jnp.moveaxis(self.p, -2, 0)
+
+        def body(carry, inp):
+            xt, cost = carry
+            t, Kt, kt, xr, ur, Qt, pt = inp
+            ut = bmv(Kt, xt - xr) + kt + ur
             xut = jnp.concatenate([xt, ut], axis=-1)
-            xt = self.system(xt, ut)[0]
-            xs.append(xt)
-            cost = cost + 0.5 * bvmv(xut, self.Q[..., t, :, :], xut) \
-                + jnp.sum(xut * self.p[..., t, :], axis=-1)
-        x = jnp.stack(xs, axis=-2)
-        u = jnp.stack(us, axis=-2)
+            xn = self._step(xt, ut, t)
+            cost = cost + 0.5 * bvmv(xut, Qt, xut) \
+                + jnp.sum(xut * pt, axis=-1)
+            return (xn, cost), (xn, ut)
+
+        cost0 = jnp.zeros(self.n_batch, dtype=self.dtype)
+        (_, cost), (xn_s, us_s) = lax.scan(
+            body, (x_init, cost0), (ts, Ks, ks, xref, uref, Qs, ps))
+        x = jnp.concatenate([x_init[..., None, :],
+                             jnp.moveaxis(xn_s, 0, -2)], axis=-2)
+        u = jnp.moveaxis(us_s, 0, -2)
         return x, u, cost
 
 

@@ -110,3 +110,40 @@ def test_mpc_reduces_cost():
         c0 += 0.5 * pp.bvmv(xu, Q[0], xu) + jnp.sum(xu * p)
         xt = sys.state_transition(xt, jnp.zeros((1, nc)))
     assert float(cost[0]) <= float(c0[0]) + 1e-6
+
+
+def test_lqr_long_horizon_scan():
+    """T=256 NLS-LQR must compile fast (scan: O(1) programs in T — the
+    unrolled version took minutes) and produce finite trajectories."""
+    import time
+    sys = CartPoleLike()
+    T = 256
+    ns, nc = 2, 1
+    Q = jnp.tile(jnp.eye(ns + nc)[None, None], (1, T, 1, 1))
+    p = jnp.zeros((1, T, ns + nc))
+    lqr = LQR(sys, Q, p, T)
+    x0 = jnp.array([[0.3, 0.0]])
+    t0 = time.perf_counter()
+    run = jax.jit(lambda x: lqr(x))
+    x, u, cost = run(x0)
+    jax.block_until_ready(cost)
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 60.0, f'T=256 LQR compile took {elapsed:.1f}s'
+    assert x.shape == (1, T + 1, ns) and u.shape == (1, T, nc)
+    assert bool(jnp.isfinite(cost).all()) and bool(jnp.isfinite(x).all())
+
+
+def test_lqr_time_varying_cost_scan():
+    """Per-step (time-varying) Q/p enter the scan as stacked xs; a
+    terminal-weighted cost must steer the final state toward zero harder
+    than a uniform one."""
+    sys = CartPoleLike()
+    T = 30
+    ns, nc = 2, 1
+    Q_unif = jnp.tile(jnp.eye(ns + nc)[None, None], (1, T, 1, 1))
+    Q_term = Q_unif.at[:, -1].mul(100.0)
+    p = jnp.zeros((1, T, ns + nc))
+    x0 = jnp.array([[0.6, 0.0]])
+    x_u, _, _ = LQR(sys, Q_unif, p, T)(x0)
+    x_t, _, _ = LQR(sys, Q_term, p, T)(x0)
+    assert float(jnp.abs(x_t[0, -2]).sum()) < float(jnp.abs(x_u[0, -2]).sum())
