@@ -85,6 +85,10 @@ class BundleAdjustment:
         self.reject = reject
         self.cg_iter, self.cg_tol = cg_iter, cg_tol
         self.fix_first_pose = fix_first_pose
+        # optional bool [O] mask: invalid observations contribute zero chi2
+        # (their residual/Jacobian must already vanish, e.g. zero-focal
+        # padding in the sharded path)
+        self.obs_valid = None
         self.C = poses.lshape[0]
         self.P = self.points.shape[0]
         self.strategy_state = None
@@ -188,6 +192,8 @@ class BundleAdjustment:
         chi = jnp.sum(r * r, -1)
         if self.kernel is not None:
             chi = self.kernel(chi)
+        if self.obs_valid is not None:
+            chi = jnp.where(self.obs_valid, chi, 0.0)
         return jnp.sum(chi)
 
     def _mask_cam(self, x):

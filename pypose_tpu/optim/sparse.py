@@ -61,10 +61,13 @@ class Factor:
         weight: optional information matrices ``[E, d, d]`` (or ``[d, d]``).
         kernel: optional robust kernel on ``chi2 = r^T W r`` (FastTriggs
             scaling, corrector.py:69-95).
+        valid: optional bool mask ``[E]``; invalid edges contribute zero to
+            chi2 (their weight must also be zero).  Used by the sharded
+            path to pad edge counts to a mesh multiple neutrally.
     """
 
     def __init__(self, residual, indices, consts=None, weight=None,
-                 kernel=None, jacobian=None):
+                 kernel=None, jacobian=None, valid=None):
         self.residual = residual
         # optional analytic jacobian(values, consts) -> (r, {name: J})
         # with J shaped [d, arity, tan] per edge (vmapped internally);
@@ -77,6 +80,7 @@ class Factor:
         self.consts = consts
         self.weight = weight
         self.kernel = kernel
+        self.valid = None if valid is None else jnp.asarray(valid, bool)
         self.num_edges = next(iter(self.indices.values())).shape[0]
 
 
@@ -100,7 +104,7 @@ class SparseLM:
 
     def __init__(self, params, factors, solver=None, strategy=None,
                  reject=16, min=1e-6, max=1e32, cg_iter=None, cg_tol=1e-5,
-                 fixed=None, precond='auto'):
+                 fixed=None, precond='auto', scatter=False):
         self.params = dict(params)
         self.factors = list(factors)
         self.strategy = TrustRegion() if strategy is None else strategy
@@ -117,6 +121,12 @@ class SparseLM:
         self.last = None
         self.reject_count = 0
         self._step_fn = None
+        # scatter=True forces `.at[idx].add` accumulation instead of the
+        # gather-incidence formulation — duplicate-index scatters serialize
+        # on a single TPU chip (measured, CLAUDE.md) but partition cleanly
+        # under GSPMD (per-shard partials + psum), so the sharded path may
+        # prefer it; keep both measurable.
+        self._force_scatter = scatter
         self._build_incidence()
         if precond == 'auto':
             # the chain-exact (BCR) preconditioner pays off when the graph
@@ -165,7 +175,7 @@ class SparseLM:
                 flat = idxn.reshape(-1)
                 deg = np.bincount(flat, minlength=N)
                 D = int(deg.max()) if len(flat) else 0
-                if D > self.MAX_INCIDENCE_DEGREE:
+                if self._force_scatter or D > self.MAX_INCIDENCE_DEGREE:
                     self._inc[(fi, n)] = None  # fall back to scatter
                     continue
                 inc = np.zeros((N, max(D, 1)), dtype=np.int32)
@@ -292,6 +302,8 @@ class SparseLM:
                 chi = jnp.sum(r * r, -1)
             if f.kernel is not None:
                 chi = f.kernel(chi)
+            if f.valid is not None:
+                chi = jnp.where(f.valid, chi, 0.0)
             total = total + jnp.sum(chi)
         return total
 

@@ -20,11 +20,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..lietensor.lietensor import LieTensor
 from ..lietensor.utils import SE3
+from ..optim.ba import BundleAdjustment
 from ..optim.sparse import SparseLM, Factor, pgo_factor
-from ..optim.strategy import TrustRegion
+from ..optim.strategy import Constant, TrustRegion
 
-__all__ = ['make_mesh', 'shard_leading', 'replicate', 'ShardedPGO',
-           'make_pgo_step', 'make_ba_step', 'ShardedBA']
+__all__ = ['make_mesh', 'shard_leading', 'replicate', 'ShardedLM',
+           'ShardedPGO', 'make_pgo_step', 'make_ba_step', 'ShardedBA']
 
 
 def make_mesh(n_devices=None, axis='dp', devices=None):
@@ -193,144 +194,229 @@ def make_ba_step(n_cams, n_points, damping=1e-4, cg_iter=30, cg_tol=1e-6):
     return step
 
 
-class ShardedBA:
-    """Bundle adjustment with observations sharded over a device mesh."""
+def _pad_factor(factor, params, multiple):
+    """Pad a factor's edge count to a mesh multiple, neutrally.
+
+    Padded edges duplicate edge 0's indices/measurements but carry a ZERO
+    information matrix and ``valid=False``: every J^T W (.) accumulation
+    and the chi2 both see exactly nothing from them.  When the factor had
+    no weights, identity information matrices are materialized first
+    (mathematically identical)."""
+    E = factor.num_edges
+    pad = (-E) % multiple
+    if pad == 0:
+        return factor
+    # residual dim d from a single-edge evaluation
+    vals0 = {}
+    for n, idx in factor.indices.items():
+        p = params[n]
+        i0 = jnp.asarray(idx)[0]
+        vals0[n] = p[i0] if isinstance(p, LieTensor) \
+            else jnp.take(jnp.asarray(p), i0, axis=0)
+    consts0 = None if factor.consts is None else \
+        jax.tree_util.tree_map(lambda x: x[0], factor.consts)
+    r0 = factor.residual(vals0, consts0)
+    d = int(r0.shape[-1])
+    dtype = r0.dtype
+
+    def pad_lead(x):
+        return jnp.concatenate([x, jnp.repeat(x[:1], pad, axis=0)], axis=0)
+
+    indices = {n: pad_lead(v) for n, v in factor.indices.items()}
+    consts = None if factor.consts is None else \
+        jax.tree_util.tree_map(pad_lead, factor.consts)
+    w = factor.weight
+    if w is None:
+        w = jnp.broadcast_to(jnp.eye(d, dtype=dtype), (E, d, d))
+    else:
+        w = jnp.asarray(w)
+        if w.ndim == 2:
+            w = jnp.broadcast_to(w, (E, d, d))
+    w = jnp.concatenate([w, jnp.zeros((pad, d, d), w.dtype)], axis=0)
+    valid = jnp.concatenate(
+        [jnp.ones(E, bool) if factor.valid is None else factor.valid,
+         jnp.zeros(pad, bool)])
+    return Factor(factor.residual, indices, consts=consts, weight=w,
+                  kernel=factor.kernel, jacobian=factor.jacobian,
+                  valid=valid)
+
+
+class ShardedLM(SparseLM):
+    r"""SparseLM with its factor-graph edge arrays sharded over a device
+    mesh — the FULL single-chip LM semantics (TrustRegion/Adaptive damping,
+    reject ``lax.while_loop``, robust kernels, information matrices,
+    block-Jacobi/chain preconditioning; reference reject semantics
+    optimizer.py:662-679) run unchanged under GSPMD.
+
+    Per-edge arrays (indices, measurements, weights) are committed with
+    their leading dim sharded over ``axis``; node-state params replicate
+    (or shard over ``node_axis`` on a 2-D mesh).  XLA inserts the
+    collectives: the J^T-side accumulations across edge shards lower to
+    psums over ICI.
+
+    Edge counts pad to a mesh multiple with zero-information duplicates of
+    edge 0 (see :func:`_pad_factor`) — provably neutral to every term of
+    the normal equations and to chi2.
+    """
+
+    def __init__(self, params, factors, mesh=None, axis='dp',
+                 node_axis=None, **kw):
+        self.mesh = make_mesh() if mesh is None else mesh
+        self._axis = axis
+        m = self.mesh.shape[axis]
+        factors = [_pad_factor(f, params, m) for f in factors]
+        # scatter-add accumulation partitions cleanly under GSPMD
+        # (per-shard partials + psum); the gather-incidence path would
+        # all-gather the edge-sharded contributions first.  Single-chip the
+        # incidence path wins (CLAUDE.md); sharded, default to scatter.
+        kw.setdefault('scatter', self.mesh.size > 1)
+        super().__init__(params, factors, **kw)
+        put_edge = lambda t: shard_leading(t, self.mesh, axis)  # noqa: E731
+        for f in self.factors:
+            f.indices = {k: put_edge(v) for k, v in f.indices.items()}
+            if f.consts is not None:
+                f.consts = put_edge(f.consts)
+            if f.weight is not None:
+                f.weight = put_edge(jnp.asarray(f.weight))
+            if f.valid is not None:
+                f.valid = put_edge(f.valid)
+        if node_axis is None:
+            self.params = replicate(self.params, self.mesh)
+        else:
+            def put_node(x):
+                try:
+                    spec = P(node_axis, *([None] * (jnp.ndim(x) - 1)))
+                    return jax.device_put(x, NamedSharding(self.mesh, spec))
+                except ValueError:  # node dim not divisible: replicate
+                    return jax.device_put(x, NamedSharding(self.mesh, P()))
+            self.params = jax.tree_util.tree_map(put_node, self.params)
+        self.fixed = {k: replicate(jnp.asarray(v), self.mesh)
+                      for k, v in self.fixed.items()}
+        self._inc = {k: v if v is None else
+                     (replicate(v[0], self.mesh), replicate(v[1], self.mesh))
+                     for k, v in self._inc.items()}
+
+
+class ShardedPGO:
+    """Pose-graph optimization sharded over a device mesh, with FULL LM
+    semantics (strategy, reject loop, robust kernels, information
+    matrices): a thin convenience wrapper over :class:`ShardedLM` on a
+    relative-pose factor (reference workload:
+    examples/module/pgo/pgo.py:45-85).
+
+    Factor edges (the data axis) shard over ``axis``; when ``node_axis``
+    is given (2-D mesh), the node-state arrays additionally shard over it
+    (model-parallel analog) — GSPMD inserts the all-gathers/psums for the
+    cross-shard gathers and J^T accumulations.
+
+    ``damping`` (if given) selects a fixed-damping ``Constant`` strategy;
+    the default is the reference example's TrustRegion(radius=1e4).
+    """
+
+    def __init__(self, nodes, edges, poses, infos=None, kernel=None,
+                 mesh=None, axis='dp', node_axis=None, strategy=None,
+                 damping=None, cg_iter=50, cg_tol=1e-6, reject=16,
+                 fix_first=True):
+        n = nodes.lshape[0]
+        if strategy is None:
+            strategy = Constant(damping=damping) if damping is not None \
+                else TrustRegion(radius=1e4)
+        fixed = {'poses': jnp.zeros(n, bool).at[0].set(True)} \
+            if fix_first else None
+        factor = pgo_factor(jnp.asarray(edges), poses, infos, kernel)
+        self.lm = ShardedLM({'poses': nodes}, [factor], mesh=mesh,
+                            axis=axis, node_axis=node_axis,
+                            strategy=strategy, fixed=fixed,
+                            cg_iter=cg_iter, cg_tol=cg_tol, reject=reject)
+        self.mesh = self.lm.mesh
+        self.history = []
+
+    def step(self):
+        """One full sharded LM step (damping strategy + reject loop on
+        device); returns the accepted chi2."""
+        loss = self.lm.step()
+        self.history.append(loss)
+        return loss
+
+    def run(self, steps):
+        """``steps`` sharded LM iterations as ONE compiled program
+        (single dispatch + host sync; stops early only on a rejected
+        step).  Returns the final chi2; history in ``self.history``."""
+        loss = self.lm.optimize(steps=steps, patience=steps + 1,
+                                decreasing=-float('inf'))
+        self.history = list(self.lm.history)
+        return loss
+
+    @property
+    def nodes(self):
+        return self.lm.params['poses'].tensor()
+
+    @property
+    def result(self):
+        return self.lm.params['poses']
+
+
+class ShardedBA(BundleAdjustment):
+    """Bundle adjustment with observations sharded over a device mesh and
+    FULL LM semantics (TrustRegion/Adaptive strategy, reject while_loop,
+    robust kernels): subclasses :class:`pypose_tpu.optim.ba.BundleAdjustment`
+    and commits the per-observation arrays with their leading dim sharded.
+
+    Observations pad to a mesh multiple with zero-focal fake cameras:
+    residual = f*distortion*p - pixel = 0 and every Jacobian term scales
+    by f = 0, so padded observations contribute exactly nothing; the
+    ``obs_valid`` mask keeps them out of chi2 under robust kernels.
+
+    ``damping`` (if given) selects a fixed-damping ``Constant`` strategy.
+    """
 
     def __init__(self, poses, points, cam_idx, pt_idx, pixels, cameras,
-                 mesh=None, axis='dp', damping=1e-4, cg_iter=30,
-                 cg_tol=1e-6):
+                 mesh=None, axis='dp', damping=None, strategy=None, **kw):
         self.mesh = make_mesh() if mesh is None else mesh
-        C, Pn = poses.lshape[0], points.shape[0]
-        self._step_args = (C, Pn, damping, cg_iter, cg_tol)
-        self._step = jax.jit(make_ba_step(C, Pn, damping, cg_iter, cg_tol))
-        cameras = jnp.asarray(cameras)
-        if cameras.shape[0] == C:
-            cameras = cameras[jnp.asarray(cam_idx)]
-        # pad observations to a mesh multiple with zero-focal fake cameras:
-        # residual = f*dist*p - pix = 0 and every Jacobian term scales by
-        # f = 0, so padded observations contribute exactly nothing.
-        O = pixels.shape[0]
-        m = self.mesh.shape[axis]
-        pad = (-O) % m
+        if strategy is None and damping is not None:
+            strategy = Constant(damping=damping)
+        C = poses.lshape[0]
         cam_idx = jnp.asarray(cam_idx, jnp.int32)
         pt_idx = jnp.asarray(pt_idx, jnp.int32)
         pixels = jnp.asarray(pixels)
+        cameras = jnp.asarray(cameras)
+        if cameras.shape[0] == C:
+            cameras = cameras[cam_idx]
+        O = pixels.shape[0]
+        m = self.mesh.shape[axis]
+        pad = (-O) % m
+        valid = None
         if pad:
-            cam_idx = jnp.concatenate(
-                [cam_idx, jnp.zeros(pad, jnp.int32)])
+            cam_idx = jnp.concatenate([cam_idx, jnp.zeros(pad, jnp.int32)])
             pt_idx = jnp.concatenate([pt_idx, jnp.zeros(pad, jnp.int32)])
             pixels = jnp.concatenate(
                 [pixels, jnp.zeros((pad, 2), pixels.dtype)])
             cameras = jnp.concatenate(
                 [cameras, jnp.zeros((pad,) + cameras.shape[1:],
                                     cameras.dtype)])
-        self.poses = replicate(poses.tensor(), self.mesh)
-        self.points = replicate(points, self.mesh)
-        self.cam_idx = shard_leading(cam_idx, self.mesh, axis)
-        self.pt_idx = shard_leading(pt_idx, self.mesh, axis)
-        self.pixels = shard_leading(pixels, self.mesh, axis)
-        self.cameras = shard_leading(cameras, self.mesh, axis)
-
-    def step(self):
-        self.poses, self.points, chi2 = self._step(
-            self.poses, self.points, self.cam_idx, self.pt_idx,
-            self.pixels, self.cameras)
-        return float(chi2)
-
-    def run(self, steps):
-        """``steps`` sharded LM iterations as ONE compiled program (a
-        ``lax.fori_loop`` around the step body): a single dispatch + host
-        sync for the whole optimization.  Returns per-step chi2 history."""
-        if not hasattr(self, '_run_cache'):
-            self._run_cache = {}
-        if steps not in self._run_cache:
-            body = make_ba_step(*self._step_args)
-
-            def run(T, X, ci, pi, pix, cams):
-                hist0 = jnp.zeros((steps,), jnp.float32)
-
-                def f(i, st):
-                    T, X, hist = st
-                    T, X, chi2 = body(T, X, ci, pi, pix, cams)
-                    return (T, X, hist.at[i].set(chi2.astype(jnp.float32)))
-
-                return jax.lax.fori_loop(0, steps, f, (T, X, hist0))
-
-            self._run_cache[steps] = jax.jit(run)
-        self.poses, self.points, hist = self._run_cache[steps](
-            self.poses, self.points, self.cam_idx, self.pt_idx,
-            self.pixels, self.cameras)
-        self.history = [float(h) for h in jax.device_get(hist)]
-        return self.history[-1]
-
-
-class ShardedPGO:
-    """Pose-graph optimization sharded over a device mesh.
-
-    Factor edges (the data axis) shard over ``axis``; when ``node_axis``
-    is given (2-D mesh), the node-state arrays additionally shard over it
-    (model-parallel analog) — GSPMD inserts the all-gathers/psums for the
-    cross-shard gathers and J^T accumulations.
-    """
-
-    def __init__(self, nodes, edges, poses, mesh=None, axis='dp',
-                 node_axis=None, damping=1e-4, cg_iter=50, cg_tol=1e-6):
-        self.mesh = make_mesh() if mesh is None else mesh
-        n = nodes.lshape[0]
-        self._step_args = (n, damping, cg_iter, cg_tol)
-        self._step = jax.jit(make_pgo_step(n, damping, cg_iter, cg_tol))
-        # pad edges to a mesh multiple with (0, 0) self-loops measuring
-        # identity: residual is exactly zero, and node 0 is gauge-fixed so
-        # the padded blocks never touch the normal equations.
-        edges = jnp.asarray(edges)
-        E = edges.shape[0]
-        m = self.mesh.shape[axis]
-        pad = (-E) % m
-        if pad:
-            eye = jnp.broadcast_to(
-                jnp.array([0., 0., 0., 0., 0., 0., 1.],
-                          dtype=poses.dtype), (pad, 7))
-            edges = jnp.concatenate(
-                [edges, jnp.zeros((pad, 2), edges.dtype)], axis=0)
-            poses_data = jnp.concatenate([poses.tensor(), eye], axis=0)
-        else:
-            poses_data = poses.tensor()
-        if node_axis is None:
-            self.nodes = replicate(nodes.tensor(), self.mesh)
-        else:
-            self.nodes = jax.device_put(
-                nodes.tensor(), NamedSharding(self.mesh, P(node_axis, None)))
-        self.edges = shard_leading(edges, self.mesh, axis)
-        self.poses = shard_leading(poses_data, self.mesh, axis)
-
-    def step(self):
-        self.nodes, chi2 = self._step(self.nodes, self.edges, self.poses)
-        return float(chi2)
+            valid = jnp.concatenate(
+                [jnp.ones(O, bool), jnp.zeros(pad, bool)])
+        super().__init__(poses, points, cam_idx, pt_idx, pixels, cameras,
+                         strategy=strategy, **kw)
+        self.obs_valid = valid
+        # commit shardings: obs arrays over the mesh, states replicated
+        self.cam_idx = shard_leading(self.cam_idx, self.mesh, axis)
+        self.pt_idx = shard_leading(self.pt_idx, self.mesh, axis)
+        self.pixels = shard_leading(self.pixels, self.mesh, axis)
+        self.cameras = shard_leading(self.cameras, self.mesh, axis)
+        if self.obs_valid is not None:
+            self.obs_valid = shard_leading(self.obs_valid, self.mesh, axis)
+        self.poses = SE3(replicate(self.poses.tensor(), self.mesh))
+        self.points = replicate(self.points, self.mesh)
+        if self._pt_inc is not None:
+            self._pt_inc = tuple(replicate(t, self.mesh)
+                                 for t in self._pt_inc)
+        if getattr(self, '_cam_inc', None) is not None:
+            self._cam_inc = tuple(replicate(t, self.mesh)
+                                  for t in self._cam_inc)
 
     def run(self, steps):
-        """``steps`` sharded LM iterations as ONE compiled program
-        (single dispatch + host sync).  Returns per-step chi2 history."""
-        if not hasattr(self, '_run_cache'):
-            self._run_cache = {}
-        if steps not in self._run_cache:
-            body = make_pgo_step(*self._step_args)
-
-            def run(nodes, edges, poses):
-                hist0 = jnp.zeros((steps,), jnp.float32)
-
-                def f(i, st):
-                    nodes, hist = st
-                    nodes, chi2 = body(nodes, edges, poses)
-                    return (nodes, hist.at[i].set(chi2.astype(jnp.float32)))
-
-                return jax.lax.fori_loop(0, steps, f, (nodes, hist0))
-
-            self._run_cache[steps] = jax.jit(run)
-        self.nodes, hist = self._run_cache[steps](
-            self.nodes, self.edges, self.poses)
-        self.history = [float(h) for h in jax.device_get(hist)]
-        return self.history[-1]
-
-    @property
-    def result(self):
-        return SE3(self.nodes)
+        """``steps`` sharded LM iterations as ONE compiled program (stops
+        early only on a rejected step).  Returns the final chi2."""
+        return self.optimize(steps=steps, patience=steps + 1,
+                             decreasing=-float('inf'))
