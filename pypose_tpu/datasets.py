@@ -6,6 +6,8 @@ format locally and additionally provides deterministic synthetic generators
 (sphere / grid worlds) so benchmarks run in egress-free environments.
 """
 
+import os
+
 import numpy as np
 
 import jax
@@ -13,6 +15,79 @@ import jax.numpy as jnp
 
 from .lietensor.utils import SE3, randn_SE3
 from .lietensor.convert import euler2SO3
+
+
+def find_data(name):
+    """Locate a benchmark data file (e.g. ``sphere2500.g2o``,
+    ``parking-garage.g2o``, ``problem-257-65132-pre.txt``).
+
+    Searches ``$PYPOSE_TPU_DATA`` then the repo-level ``data/`` directory.
+    Returns the path or None.  The reference downloads these at runtime
+    (examples/module/pgo/pgo_dataset.py:15-20); in egress-free environments
+    drop the files into ``data/`` and every bench/test picks them up.
+    """
+    cands = []
+    env = os.environ.get('PYPOSE_TPU_DATA')
+    if env:
+        cands.append(os.path.join(env, name))
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands.append(os.path.join(here, 'data', name))
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def save_g2o(path, nodes, edges, poses, infos=None):
+    """Write a pose graph in g2o VERTEX_SE3:QUAT / EDGE_SE3:QUAT format
+    (row-major upper-triangular 6x6 information, the format parsed by
+    the reference's loader, examples/module/pgo/pgo_dataset.py:22-45)."""
+    nodes = np.asarray(nodes.tensor() if hasattr(nodes, 'tensor')
+                       else nodes, np.float64)
+    poses = np.asarray(poses.tensor() if hasattr(poses, 'tensor')
+                       else poses, np.float64)
+    edges = np.asarray(edges)
+    iu = np.triu_indices(6)
+    if infos is None:
+        infos = np.broadcast_to(np.eye(6), (edges.shape[0], 6, 6))
+    infos = np.asarray(infos, np.float64)
+    with open(path, 'w') as f:
+        for i, v in enumerate(nodes):
+            f.write('VERTEX_SE3:QUAT %d ' % i
+                    + ' '.join('%.12g' % x for x in v) + '\n')
+        for (i, j), z, w in zip(edges, poses, infos):
+            f.write('EDGE_SE3:QUAT %d %d ' % (i, j)
+                    + ' '.join('%.12g' % x for x in z) + ' '
+                    + ' '.join('%.12g' % x for x in w[iu]) + '\n')
+
+
+def save_bal(path, poses, points, cam_idx, pt_idx, pixels, cameras):
+    """Write a problem in BAL text format (header ``C P O``; per-obs
+    ``cam pt u v``; per-camera Rodrigues(3)+t(3)+f,k1,k2; per-point 3)."""
+    from .lietensor.utils import SO3
+    data = np.asarray(poses.tensor(), np.float64)
+    t, q = data[:, :3], data[:, 3:]
+    rod = np.asarray(SO3(jnp.asarray(q)).Log().tensor(), np.float64)
+    cameras = np.asarray(cameras, np.float64)
+    C = data.shape[0]
+    if cameras.shape[0] != C:  # per-obs intrinsics: collapse per camera
+        cams_per = np.zeros((C, 3))
+        cams_per[np.asarray(cam_idx)] = cameras
+        cameras = cams_per
+    points = np.asarray(points, np.float64)
+    cam_idx = np.asarray(cam_idx)
+    pt_idx = np.asarray(pt_idx)
+    pixels = np.asarray(pixels, np.float64)
+    with open(path, 'w') as f:
+        f.write(f'{C} {points.shape[0]} {pixels.shape[0]}\n')
+        for c, p, (u, v) in zip(cam_idx, pt_idx, pixels):
+            f.write(f'{c} {p} {u:.12g} {v:.12g}\n')
+        for c in range(C):
+            for x in (*rod[c], *t[c], *cameras[c]):
+                f.write('%.12g\n' % x)
+        for p in points:
+            for x in p:
+                f.write('%.12g\n' % x)
 
 
 def load_g2o(path, dtype=jnp.float32):
@@ -179,13 +254,18 @@ def synthetic_bal(n_cams=16, n_points=800, obs_per_point=4, f=500.0,
 
 def synthetic_sphere(n_poses=2500, radius=25.0, loops_per_pose=0.8,
                      meas_sigma=(0.05, 0.02), init_sigma=(1.0, 0.3),
-                     seed=42, dtype=jnp.float32):
+                     seed=42, dtype=jnp.float32, info='identity'):
     """Deterministic sphere-world pose graph (sphere2500-like).
 
     Poses spiral over a sphere; odometry edges chain consecutive poses and
     loop closures connect spatially nearby poses on adjacent rings.  Returns
     the same structure as :func:`load_g2o` plus ``gt`` (ground truth) —
     ``nodes`` is the noisy initialization.
+
+    ``info``: 'identity' (default) or 'natural' — the measurement-noise
+    inverse covariance ``diag(1/sigma_t^2 x3, 1/sigma_r^2 x3)``, the
+    weighting real g2o benchmark graphs carry (e.g. sphere2500's
+    EDGE_SE3:QUAT information matrices).
     """
     n = n_poses
     idx = np.arange(n)
@@ -225,5 +305,10 @@ def synthetic_sphere(n_poses=2500, radius=25.0, loops_per_pose=0.8,
     init_noise = randn_SE3(n, sigma=init_sigma, key=k2, dtype=dtype)
     nodes = init_noise @ gt
     nodes = SE3(nodes.tensor().at[0].set(gt.tensor()[0]))
-    infos = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (E, 6, 6))
+    if info == 'natural':
+        st, sr = meas_sigma
+        diag = jnp.asarray([1.0 / st**2] * 3 + [1.0 / sr**2] * 3, dtype)
+        infos = jnp.broadcast_to(jnp.diag(diag), (E, 6, 6))
+    else:
+        infos = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (E, 6, 6))
     return dict(nodes=nodes, edges=edges, poses=Z, infos=infos, gt=gt)

@@ -85,3 +85,46 @@ def test_bal_native_matches_python(tmp_path):
                                    atol=1e-6)
     np.testing.assert_allclose(np.asarray(b1['poses'].tensor()),
                                np.asarray(b2['poses'].tensor()), atol=1e-6)
+
+
+def test_g2o_roundtrip_and_weighted_pgo(tmp_path):
+    """save_g2o -> load_g2o (native parser) round-trips bit-exactly, and
+    the 6x6 information matrices drive a weighted optimization
+    (reference workload: examples/module/pgo/pgo.py:45-85 with infos)."""
+    from pypose_tpu.datasets import save_g2o
+    from pypose_tpu.optim.sparse import pgo
+
+    ds = synthetic_sphere(50, seed=8, info='natural')
+    path = str(tmp_path / 'sphere50.g2o')
+    save_g2o(path, ds['nodes'], ds['edges'], ds['poses'], ds['infos'])
+    d2 = load_g2o(path)
+    np.testing.assert_allclose(np.asarray(d2['nodes'].tensor()),
+                               np.asarray(ds['nodes'].tensor()), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(d2['edges']),
+                                  np.asarray(ds['edges']))
+    np.testing.assert_allclose(np.asarray(d2['infos']),
+                               np.asarray(ds['infos']), rtol=1e-6)
+    assert float(jnp.abs(d2['infos'][0, 0, 0] - 400.0)) < 1e-3  # non-identity
+
+    nodes, hist = pgo(d2['nodes'], d2['edges'], d2['poses'],
+                      infos=d2['infos'], steps=8, cg_iter=80)
+    assert hist[-1] < hist[0] * 1e-2  # information-weighted convergence
+
+
+def test_bal_roundtrip(tmp_path):
+    from pypose_tpu.datasets import save_bal, synthetic_bal
+
+    ds = synthetic_bal(n_cams=4, n_points=20, obs_per_point=3, seed=1)
+    path = str(tmp_path / 'toy.bal')
+    save_bal(path, ds['poses'], ds['points'], ds['cam_idx'], ds['pt_idx'],
+             ds['pixels'], ds['cameras'])
+    b = load_bal(path)
+    np.testing.assert_allclose(np.asarray(b['points']),
+                               np.asarray(ds['points']), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b['pixels']),
+                               np.asarray(ds['pixels']), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(b['cam_idx']),
+                                  np.asarray(ds['cam_idx']))
+    # poses survive the SO3 Log -> Rodrigues -> Exp round trip
+    d = (b['poses'].Inv() @ ds['poses']).Log().tensor()
+    assert float(jnp.max(jnp.abs(d))) < 1e-5
