@@ -66,6 +66,37 @@ def microbench_lieops(batch=100_000, iters=20):
     return ops_per_sec
 
 
+def _sphere2500_problem():
+    """The headline problem, loaded through the REAL g2o IO path: a
+    vendored sphere2500.g2o when present (drop into data/), else the
+    synthetic graph round-tripped through g2o text + the native C++
+    parser (same format, same loader)."""
+    import os
+    import tempfile
+    from pypose_tpu.datasets import (find_data, load_g2o, save_g2o,
+                                     synthetic_sphere)
+    real = find_data('sphere2500.g2o')
+    if real:
+        return load_g2o(real), f'real g2o file {real}'
+    ds = synthetic_sphere(2500)
+    path = os.path.join(tempfile.gettempdir(), 'ppt_sphere2500.g2o')
+    save_g2o(path, ds['nodes'], ds['edges'], ds['poses'], ds['infos'])
+    parsed = load_g2o(path)
+    return parsed, 'synthetic_sphere(2500) via g2o round-trip (native parser)'
+
+
+def _reference_anchor(n=2500):
+    """Vendored reference-computed chi2 target (tools/ref_anchor.py runs
+    the actual PyTorch reference on the identical problem)."""
+    import json
+    from pypose_tpu.datasets import find_data
+    p = find_data(f'ref_anchor_sphere{n}.json')
+    if p is None:
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def bench_pgo_sphere2500():
     import jax.numpy as jnp
     from pypose_tpu.datasets import synthetic_sphere
@@ -73,8 +104,9 @@ def bench_pgo_sphere2500():
                                          split_chain_edges)
     from pypose_tpu.optim.strategy import TrustRegion
 
-    ds = synthetic_sphere(2500)
-    n = 2500
+    ds, provenance = _sphere2500_problem()
+    log(f'[pgo] problem: {provenance}')
+    n = ds['nodes'].lshape[0]
     fixed = {'poses': jnp.zeros(n, bool).at[0].set(True)}
     edges = jnp.asarray(ds['edges'])
     runs, rest = split_chain_edges(edges)
@@ -86,12 +118,25 @@ def bench_pgo_sphere2500():
                    strategy=TrustRegion(radius=1e4), fixed=fixed,
                    cg_iter=150, cg_tol=1e-6)
 
-    # cold: compile + converge; establishes the reference chi2 plateau
+    # cold: compile + converge
     t0 = time.perf_counter()
     opt.optimize(steps=6, decreasing=1e-6, patience=2)
     log(f'[pgo] cold: compile+optimize in {time.perf_counter()-t0:.1f}s, '
         f'chi2 {opt.history[0]:.4e} -> {opt.history[-1]:.4e}')
-    ref_chi2 = opt.history[-1] * 1.01
+
+    # target chi2: the PyTorch reference's converged value on the identical
+    # problem (LM+Cholesky+TrustRegion+StopOnPlateau, tools/ref_anchor.py),
+    # NOT our own plateau
+    anchor = _reference_anchor(2500)
+    if anchor is not None:
+        ref_chi2 = anchor['final_chi2']
+        log(f'[pgo] target chi2 {ref_chi2:.6e} provenance: '
+            f'{anchor["provenance"]} ({anchor["reference"]}, '
+            f'{anchor["dtype"]}, {anchor["wall_seconds"]:.0f}s on CPU)')
+    else:
+        ref_chi2 = opt.history[-1] * 1.01
+        log(f'[pgo] target chi2 {ref_chi2:.6e} provenance: SELF-PLATEAU '
+            'fallback (no data/ref_anchor_sphere2500.json vendored)')
 
     # warm: reset problem state, rerun the fully-device-side optimize loop
     opt.params = {'poses': ds['nodes']}
@@ -100,14 +145,38 @@ def bench_pgo_sphere2500():
     chi2 = opt.optimize(steps=6, decreasing=1e-6, patience=2)
     elapsed = time.perf_counter() - t0
     steps = len(opt.history)
-    # time-to-target: first step whose chi2 beats the converged plateau
+    # time-to-target: first step whose chi2 beats the reference's converged
+    # value (per-step time attributed uniformly: the whole loop runs on
+    # device in one program, so individual steps aren't separately timed)
     hit = next((i + 1 for i, h in enumerate(opt.history)
                 if h <= ref_chi2), steps)
+    if opt.history[min(hit, steps) - 1] > ref_chi2:
+        log(f'[pgo] WARNING: reference chi2 {ref_chi2:.4e} NOT reached; '
+            f'best {min(opt.history):.4e}')
     t_to_target = elapsed * hit / steps
     log(f'[pgo] warm: {steps} device-side LM steps in {elapsed:.3f}s '
         f'({elapsed/steps*1e3:.1f} ms/step); chi2 {chi2:.4e}; '
         f'target {ref_chi2:.4e} hit at step {hit} '
         f'(~{t_to_target:.3f}s)')
+
+    # information-weighted run (real g2o graphs carry 6x6 information
+    # matrices; exercise the weighted normal equations at full scale)
+    dsw = synthetic_sphere(2500, info='natural')
+    optw = SparseLM({'poses': dsw['nodes']},
+                    [pgo_factor(edges[jnp.asarray(r)],
+                                dsw['poses'][jnp.asarray(r)],
+                                dsw['infos'][jnp.asarray(r)])
+                     for r in runs] +
+                    [pgo_factor(edges[jnp.asarray(rest)],
+                                dsw['poses'][jnp.asarray(rest)],
+                                dsw['infos'][jnp.asarray(rest)])],
+                    strategy=TrustRegion(radius=1e4), fixed=fixed,
+                    cg_iter=150, cg_tol=1e-6)
+    t0 = time.perf_counter()
+    lossw = optw.optimize(steps=6, decreasing=1e-6, patience=2)
+    log(f'[pgo-weighted] info-weighted sphere2500 (natural 6x6 infos): '
+        f'{len(optw.history)} steps (compile+run {time.perf_counter()-t0:.1f}s), '
+        f'weighted chi2 {optw.history[0]:.4e} -> {lossw:.4e}')
     return t_to_target, chi2
 
 
@@ -134,6 +203,47 @@ def bench_ba():
         f'{O} obs: {steps} device-side LM steps in {dt:.3f}s '
         f'({dt/max(steps,1)*1e3:.1f} ms/step), chi2 {loss:.4e}, '
         f'reproj RMSE {jnp.sqrt(loss/O):.4f} px')
+
+
+def bench_ba_trafalgar():
+    """Trafalgar-scale BA (reference default workload:
+    examples/module/ba/bundle_adjustment.py:49-51, problem-257-65132-pre:
+    257 cams, 65,132 points, 225,911 observations).  Loads the real BAL
+    file when vendored in data/, else a synthetic problem at identical
+    scale."""
+    from pypose_tpu.datasets import find_data, load_bal, synthetic_bal
+    from pypose_tpu.optim.ba import BundleAdjustment
+
+    real = find_data('problem-257-65132-pre.txt')
+    if real:
+        ds = load_bal(real)
+        prov = f'real BAL file {real}'
+    else:
+        ds = synthetic_bal(n_cams=257, n_points=65132,
+                           obs_per_point=225911 / 65132, seed=0)
+        prov = 'synthetic at trafalgar scale (257/65132/225911)'
+    O = ds['pixels'].shape[0]
+    log(f'[ba-trafalgar] problem: {prov}; O={O}')
+
+    def make():
+        return BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                                ds['pt_idx'], ds['pixels'], ds['cameras'],
+                                fix_first_pose=True, cg_iter=40,
+                                cg_tol=1e-6)
+    ba = make()
+    t0 = time.perf_counter()
+    ba.optimize(steps=6, patience=6, decreasing=1e-3)  # compile + run
+    log(f'[ba-trafalgar] cold compile+optimize {time.perf_counter()-t0:.1f}s')
+    ba2 = make()
+    ba2._opt_cache = ba._opt_cache
+    t0 = time.perf_counter()
+    loss = ba2.optimize(steps=6, patience=6, decreasing=1e-3)
+    dt = time.perf_counter() - t0
+    steps = max(len(ba2.history), 1)
+    log(f'[ba-trafalgar] warm: {steps} device-side LM steps in {dt:.3f}s '
+        f'({dt/steps*1e3:.1f} ms/step); chi2 '
+        + ' -> '.join(f'{h:.4e}' for h in ba2.history)
+        + f'; reproj RMSE {jnp.sqrt(loss/O):.4f} px')
 
 
 def bench_batch_lm(B=4096, steps=4):
@@ -244,6 +354,10 @@ def main():
         bench_ba()
     except Exception as e:  # secondary metric must not kill the headline
         log('[ba] failed:', e)
+    try:
+        bench_ba_trafalgar()
+    except Exception as e:
+        log('[ba-trafalgar] failed:', e)
     try:
         bench_pgo_chain()
     except Exception as e:

@@ -226,10 +226,21 @@ def synthetic_bal(n_cams=16, n_points=800, obs_per_point=4, f=500.0,
     gt_points = jnp.asarray(rng.normal(size=(n_points, 3)) * 2.0, dtype)
 
     # observations: each point seen by obs_per_point random cameras
-    cam_idx = rng.integers(0, n_cams, size=(n_points, obs_per_point))
-    cam_idx = np.sort(cam_idx, axis=1)
-    pt_idx = np.repeat(np.arange(n_points), obs_per_point)
-    cam_idx = cam_idx.reshape(-1)
+    # (fractional obs_per_point matches real BAL observation counts, e.g.
+    # trafalgar problem-257-65132-pre's 225,911 obs = 3.468/point)
+    if float(obs_per_point) == int(obs_per_point):
+        obs_per_point = int(obs_per_point)
+        cam_idx = rng.integers(0, n_cams, size=(n_points, obs_per_point))
+        cam_idx = np.sort(cam_idx, axis=1)
+        pt_idx = np.repeat(np.arange(n_points), obs_per_point)
+        cam_idx = cam_idx.reshape(-1)
+    else:
+        base = int(np.floor(obs_per_point))
+        extra = int(round((obs_per_point - base) * n_points))
+        counts = np.full(n_points, base)
+        counts[:extra] += 1
+        pt_idx = np.repeat(np.arange(n_points), counts)
+        cam_idx = rng.integers(0, n_cams, size=pt_idx.shape[0])
     cameras = jnp.broadcast_to(jnp.asarray([f, 0., 0.], dtype),
                                (n_cams, 3))
 
