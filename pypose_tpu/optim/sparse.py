@@ -104,7 +104,7 @@ class SparseLM:
 
     def __init__(self, params, factors, solver=None, strategy=None,
                  reject=16, min=1e-6, max=1e32, cg_iter=None, cg_tol=1e-5,
-                 fixed=None, precond='auto', scatter=False):
+                 fixed=None, precond='auto', scatter=False, matvec='auto'):
         self.params = dict(params)
         self.factors = list(factors)
         self.strategy = TrustRegion() if strategy is None else strategy
@@ -128,6 +128,18 @@ class SparseLM:
         # prefer it; keep both measurable.
         self._force_scatter = scatter
         self._build_incidence()
+        # coupling-block SpMV (ops/spmv.py): 1.8x faster CG matvec on TPU
+        # for arity-2 single-group graphs (PGO shape); 'generic' forces the
+        # gather/scatter formulation (used by the sharded path, whose edge
+        # arrays are mesh-sharded)
+        self._spmv = None
+        self._spmv_name = None
+        self._stencil_all = None
+        if matvec in ('auto', 'coupling'):
+            self._build_spmv()
+        elif matvec != 'generic':
+            raise ValueError(f'matvec must be auto|coupling|generic, '
+                             f'got {matvec}')
         if precond == 'auto':
             # the chain-exact (BCR) preconditioner pays off when the graph
             # is chain-dominated: few non-chain edges per node (measured:
@@ -147,6 +159,43 @@ class SparseLM:
                 else 'jacobi'
         else:
             self.precond = precond
+
+    def _build_spmv(self):
+        """Build coupling-block SpMV structures when every factor is an
+        arity-2 factor over ONE shared variable group (the PGO shape)."""
+        names = {n for f in self.factors for n in f.indices}
+        if len(names) != 1:
+            return
+        name = names.pop()
+        v = self.params[name]
+        if len(v.shape) != 2:
+            return  # tiled/batched param layouts keep the generic path
+        if any(f.indices[name].shape[1] != 2 for f in self.factors):
+            return
+        from ..ops.spmv import CouplingSpMV, StencilSpMV
+        N = int(v.shape[0])
+        t = _tan_dim(v)
+
+        def build(f):
+            idx = np.asarray(f.indices[name])
+            try:
+                # gather-free circulant stencils when the factor's edge
+                # offsets cluster (odometry chains, regular loop closures)
+                return StencilSpMV(idx, N, t)
+            except ValueError:
+                return CouplingSpMV(idx, N, t)
+        self._spmv = [build(f) for f in self.factors]
+        self._spmv_name = name
+        # whole-CG Pallas kernel (ops/pallas_cg.py): ALL edges must fit
+        # one merged stencil structure and the preconditioner must be
+        # block-Jacobi (the kernel keeps the entire solver state in VMEM)
+        self._stencil_all = None
+        try:
+            edges_all = np.concatenate(
+                [np.asarray(f.indices[name]) for f in self.factors])
+            self._stencil_all = StencilSpMV(edges_all, N, t)
+        except ValueError:
+            pass
 
     def _build_incidence(self):
         """Static per-node incidence tables: for each (factor, group),
@@ -384,11 +433,10 @@ class SparseLM:
                 * eye + 1e-8 * eye
         return out
 
-    def _block_jacobi(self, blocks, damped_scale):
+    def _block_jacobi(self, accum, damped_scale):
         """Per-node blocks of J^T W J (+ LM damping), inverted."""
         from ..ops.smallinv import blockinv
-        damped = self._damped_blocks(self._block_diag_accum(blocks),
-                                     damped_scale)
+        damped = self._damped_blocks(accum, damped_scale)
         return {n: blockinv(B) for n, B in damped.items()}
 
     def _chain_offdiag(self, blocks, n):
@@ -409,7 +457,7 @@ class SparseLM:
             U = U.at[offs[0]:offs[0] + E].add(blk)
         return U
 
-    def _chain_preconditioner(self, blocks, damped_scale):
+    def _chain_preconditioner(self, blocks, accum, damped_scale):
         """Block-tridiagonal (chain-exact) preconditioner where chain
         factors exist, block-Jacobi elsewhere.  Returns M(x) callable.
 
@@ -419,7 +467,6 @@ class SparseLM:
         """
         from ..ops.smallinv import blockinv
         from ..ops.block_tridiag import bcr_factor, bcr_solve
-        accum = self._block_diag_accum(blocks)
         damped = self._damped_blocks(accum, damped_scale)
         appliers = {}
         for n, D in damped.items():
@@ -460,21 +507,65 @@ class SparseLM:
         maxiter = self.cg_iter if self.cg_iter is not None \
             else min(10 * nparam, 500)
 
+        # per-node diagonal blocks of J^T W J: used by the preconditioners
+        # AND as the D-part of the coupling-block matvec
+        accum = self._block_diag_accum(blocks)
+        if self._spmv is not None:
+            nm = self._spmv_name
+            # coupling blocks precomputed ONCE per step, amortized over
+            # every CG iteration of every damping retry (ops/spmv.py)
+            spmv_states = [sp.precompute(blk[1][nm], blk[3][nm])
+                           for sp, blk in zip(self._spmv, blocks)]
+            D_spmv = accum[nm]
+
+            def raw_matvec(x):
+                xm = self._mask(nm, x[nm])
+                y = jnp.einsum('ntu,nu->nt', D_spmv, xm, precision=_HI)
+                for sp, st in zip(self._spmv, spmv_states):
+                    y = y + sp.couple(st, xm)
+                return {nm: self._mask(nm, y)}
+        else:
+            def raw_matvec(x):
+                return self._matvec(blocks, x)
+
+        # whole-CG Pallas kernel path: merged stencil channels + VMEM-
+        # resident solver (ops/pallas_cg.py); block-Jacobi only
+        use_kernel = (self._stencil_all is not None
+                      and self.precond != 'chain')
+        if use_kernel:
+            nm = self._spmv_name
+            C_all = self._stencil_all.precompute_multi(
+                [(blk[1][nm], blk[3][nm]) for blk in blocks])
+
         def solve(damping):
+            if use_kernel:
+                from ..ops.pallas_cg import stencil_cg
+                from ..ops.smallinv import blockinv
+                dcorr = diagA[nm] - diag_raw[nm] + damping * diagA[nm]
+                damped = self._damped_blocks(accum, {nm: 1.0 + damping})
+                Minv = blockinv(damped[nm])
+                x, _ = stencil_cg(
+                    b[nm], accum[nm], dcorr, Minv, C_all,
+                    tuple(self._stencil_all.offsets),
+                    fixed_mask=self.fixed.get(nm),
+                    maxiter=maxiter, tol=self.cg_tol,
+                    use_pallas=jax.default_backend() == 'tpu')
+                return {nm: x}
+
             def Avp(x):
                 # A with its diagonal clamped to [min, max] then damped,
                 # matching the reference's in-place diag treatment
                 # (optimizer.py:655-657, 663-666)
-                y = self._matvec(blocks, x)
+                y = raw_matvec(x)
                 return {n: y[n] + (diagA[n] - diag_raw[n]
                                    + damping * diagA[n])
                         * self._mask(n, x[n]) for n in y}
 
             scale = {n: 1.0 + damping for n in diagA}
             if self.precond == 'chain':
-                M = self._chain_preconditioner(blocks, scale)
+                M = self._chain_preconditioner(blocks, accum, scale)
             else:
-                Binv = self._block_jacobi(blocks, scale)
+                Binv = self._block_jacobi(accum, scale)
 
                 def M(x):
                     return {n: jnp.einsum('ntu,nu->nt', Binv[n], x[n],

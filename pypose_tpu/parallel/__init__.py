@@ -270,6 +270,10 @@ class ShardedLM(SparseLM):
         # all-gather the edge-sharded contributions first.  Single-chip the
         # incidence path wins (CLAUDE.md); sharded, default to scatter.
         kw.setdefault('scatter', self.mesh.size > 1)
+        # the coupling-block SpMV bakes host-side tile structures; the
+        # sharded path keeps the generic matvec whose edge-dim arrays
+        # carry the mesh sharding
+        kw.setdefault('matvec', 'generic')
         super().__init__(params, factors, **kw)
         put_edge = lambda t: shard_leading(t, self.mesh, axis)  # noqa: E731
         for f in self.factors:

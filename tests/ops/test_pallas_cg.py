@@ -1,0 +1,95 @@
+"""Whole-CG stencil kernel: XLA fallback correctness vs dense solve, and
+the Pallas path in interpreter mode (CPU CI has no TPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pypose_tpu.ops.pallas_cg import stencil_cg
+from pypose_tpu.ops.spmv import StencilSpMV
+
+
+def make_system(N=40, t=6, seed=0):
+    """SPD stencil system from a synthetic chain+loop pose graph."""
+    rng = np.random.default_rng(seed)
+    chain = np.stack([np.arange(N - 1), np.arange(1, N)], 1)
+    li = rng.integers(0, N, 15)
+    loops = np.stack([li, (li + 9) % N], 1)
+    edges = np.concatenate([chain, loops], 0)
+    E = edges.shape[0]
+    J = rng.normal(size=(E, 6, 2, t)).astype(np.float32)
+    WJ = J.copy()
+    sp = StencilSpMV(edges, N, t)
+    C = sp.precompute(jnp.asarray(J), jnp.asarray(WJ))
+    D = np.zeros((N, t, t), np.float32)
+    for e in range(E):
+        i, j = edges[e]
+        D[i] += J[e, :, 0, :].T @ J[e, :, 0, :]
+        D[j] += J[e, :, 1, :].T @ J[e, :, 1, :]
+    # damping correction as SparseLM applies it
+    damping = 0.1
+    diag = np.einsum('ntt->nt', D)
+    dcorr = damping * np.clip(diag, 1e-6, 1e32)
+    A_dense = np.zeros((N * t, N * t))
+    for e in range(E):
+        i, j = edges[e]
+        Jf = np.zeros((6, N * t))
+        Jf[:, i * t:(i + 1) * t] = J[e, :, 0, :]
+        Jf[:, j * t:(j + 1) * t] = J[e, :, 1, :]
+        A_dense += Jf.T @ Jf
+    A_dense += np.diag(dcorr.reshape(-1))
+    from pypose_tpu.ops.smallinv import blockinv
+    Minv = np.asarray(blockinv(jnp.asarray(
+        D + dcorr[..., None] * np.eye(t, dtype=np.float32))))
+    b = rng.normal(size=(N, t)).astype(np.float32)
+    return sp, C, D, dcorr, Minv, b, A_dense
+
+
+def test_stencil_cg_xla_matches_dense_solve():
+    sp, C, D, dcorr, Minv, b, A_dense = make_system()
+    x, it = stencil_cg(jnp.asarray(b), jnp.asarray(D),
+                       jnp.asarray(dcorr, jnp.float32), jnp.asarray(Minv),
+                       C, tuple(sp.offsets), maxiter=400, tol=1e-7,
+                       use_pallas=False)
+    x_ref = np.linalg.solve(A_dense, b.reshape(-1)).reshape(b.shape)
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=5e-3, atol=5e-4)
+    assert int(it) < 400  # converged before the cap
+
+
+def test_stencil_cg_fixed_mask():
+    sp, C, D, dcorr, Minv, b, A_dense = make_system(seed=2)
+    N, t = b.shape
+    fixed = np.zeros(N, bool)
+    fixed[0] = True
+    x, _ = stencil_cg(jnp.asarray(b), jnp.asarray(D),
+                      jnp.asarray(dcorr, jnp.float32), jnp.asarray(Minv),
+                      C, tuple(sp.offsets), fixed_mask=jnp.asarray(fixed),
+                      maxiter=400, tol=1e-7, use_pallas=False)
+    x = np.asarray(x)
+    np.testing.assert_allclose(x[0], 0.0, atol=1e-7)
+    # solving the reduced system (rows/cols of node 0 deleted) must agree
+    keep = np.ones(N * t, bool)
+    keep[:t] = False
+    A_red = A_dense[np.ix_(keep, keep)]
+    x_red = np.linalg.solve(A_red, b.reshape(-1)[keep])
+    np.testing.assert_allclose(x.reshape(-1)[keep], x_red, rtol=5e-3,
+                               atol=5e-4)
+
+
+def test_stencil_cg_pallas_interpret_matches_xla():
+    """The Pallas kernel (interpreter mode off-TPU) computes the same
+    solution as the XLA fallback."""
+    from jax.experimental.pallas import tpu as pltpu
+    sp, C, D, dcorr, Minv, b, _ = make_system(seed=3)
+    args = (jnp.asarray(b), jnp.asarray(D), jnp.asarray(dcorr, jnp.float32),
+            jnp.asarray(Minv), C, tuple(sp.offsets))
+    x_ref, it_ref = stencil_cg(*args, maxiter=150, tol=1e-6,
+                               use_pallas=False)
+    with pltpu.force_tpu_interpret_mode():
+        x_pl, it_pl = stencil_cg(*args, maxiter=150, tol=1e-6,
+                                 use_pallas=True)
+    np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+    assert abs(int(it_pl) - int(it_ref)) <= 1
