@@ -13,7 +13,15 @@ import jax.numpy as jnp
 
 
 def pm(input):
-    """Sign function returning +1 at 0.  Ref: basics/ops.py:4-24."""
+    """Sign function returning +1 at 0 (vs ``jnp.sign`` which returns 0).
+
+    Ref: pypose/basics/ops.py:4-24.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pp.pm(jnp.array([-2., 0., 3.]))
+        Array([-1.,  1.,  1.], dtype=float32)
+    """
     from ..lietensor.lietensor import LieTensor
     x = input.tensor() if isinstance(input, LieTensor) else jnp.asarray(input)
     return jnp.where(x >= 0, jnp.ones_like(x), -jnp.ones_like(x))
@@ -29,23 +37,68 @@ def _check_dim(input, dim):
 
 
 def cumops(input, dim, ops):
-    r"""Cumulative user-defined op along ``dim``: y_i = x_1 o x_2 o ... o x_i.
+    r"""Cumulative user-defined associative op along ``dim``:
 
-    O(log N) via lax.associative_scan.  Ref: basics/ops.py:59-96.
+    .. math:: y_i = x_1 \circ x_2 \circ \dots \circ x_i
+
+    O(log N) depth via ``lax.associative_scan`` (the reference reaches the
+    same complexity by Python index-doubling, pypose/basics/ops.py:27-36;
+    here XLA compiles the whole scan into one fused program).  ``ops``
+    must be associative for the parallel scan to be exact.
+
+    Ref: pypose/basics/ops.py:59-96.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> x = pp.so3(jnp.eye(3) * 0.1).Exp()    # three small rotations
+        >>> y = pp.cumops(x, 0, lambda a, b: a @ b)
+        >>> bool(jnp.allclose(y[2].tensor(), (x[0] @ x[1] @ x[2]).tensor()))
+        True
     """
     dim = _check_dim(input, dim)
     return jax.lax.associative_scan(ops, input, axis=dim)
 
 
 def cummul(input, dim, left=True):
-    """Cumulative group ``*``.  Left: y_i = x_i * ... * x_1.  Ref: ops.py:99-152."""
+    r"""Cumulative group multiplication along ``dim``.
+
+    Left (default): :math:`y_i = x_i * x_{i-1} * \dots * x_1`;
+    right: :math:`y_i = x_1 * \dots * x_i`.  O(log N).
+
+    Ref: pypose/basics/ops.py:99-152.
+
+    Example:
+        >>> import jax, jax.numpy as jnp, pypose_tpu as pp
+        >>> x = pp.randn_SO3(4, key=jax.random.PRNGKey(0))
+        >>> y = pp.cummul(x, dim=0)
+        >>> bool(jnp.allclose((x[1] * x[0]).tensor(), y[1].tensor(),
+        ...                   atol=1e-6))
+        True
+    """
     if left:
         return cumops(input, dim, lambda a, b: b * a)
     return cumops(input, dim, lambda a, b: a * b)
 
 
 def cumprod(input, dim, left=True):
-    """Cumulative group ``@``.  Left: y_i = x_i @ ... @ x_1.  Ref: ops.py:153-205."""
+    r"""Cumulative group composition (``@``) along ``dim``.
+
+    Left (default): :math:`y_i = x_i \cdot x_{i-1} \cdots x_1` — the
+    pose-accumulation direction for odometry chains; right reverses the
+    order.  O(log N) via the associative scan; powers IMU preintegration
+    and SE3 B-splines over long horizons.
+
+    Ref: pypose/basics/ops.py:153-205.
+
+    Example:
+        >>> import jax, jax.numpy as jnp, pypose_tpu as pp
+        >>> x = pp.randn_SE3(4, key=jax.random.PRNGKey(1))
+        >>> y = pp.cumprod(x, dim=0, left=False)
+        >>> bool(jnp.allclose(y[3].tensor(),
+        ...                   (x[0] @ x[1] @ x[2] @ x[3]).tensor(),
+        ...                   atol=1e-6))
+        True
+    """
     if left:
         return cumops(input, dim, lambda a, b: b @ a)
     return cumops(input, dim, lambda a, b: a @ b)

@@ -23,7 +23,15 @@ KNNResult = namedtuple('KNNResult', ['values', 'indices'])
 
 
 def cart2homo(coordinates):
-    """(*, N) -> (*, N+1) homogeneous.  Ref: geometry.py:8."""
+    """Cartesian ``(*, N)`` -> homogeneous ``(*, N+1)`` (append ones).
+
+    Ref: pypose/function/geometry.py:8.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pp.cart2homo(jnp.array([[1., 2., 3.]]))
+        Array([[1., 2., 3., 1.]], dtype=float32)
+    """
     coordinates = coordinates.tensor() if is_lietensor(coordinates) \
         else coordinates
     ones = jnp.ones_like(coordinates[..., :1])
@@ -39,7 +47,18 @@ def homo2cart(coordinates):
 
 
 def point2pixel(points, intrinsics, extrinsics=None):
-    """Project 3D points to pixels.  Ref: geometry.py:60."""
+    r"""Project 3D points ``(*, N, 3)`` to pixels ``(*, N, 2)`` through a
+    pinhole camera ``intrinsics`` (``(*, 3, 3)``), optionally transforming
+    by an SE3 ``extrinsics`` first.
+
+    Ref: pypose/function/geometry.py:60.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> K = jnp.array([[100., 0., 32.], [0., 100., 32.], [0., 0., 1.]])
+        >>> pp.point2pixel(jnp.array([[0.1, -0.1, 1.0]]), K)
+        Array([[42., 22.]], dtype=float32)
+    """
     assert points.shape[-1] == 3, 'Points shape incorrect'
     assert intrinsics.shape[-1] == intrinsics.shape[-2] == 3, \
         'Intrinsics shape incorrect.'
@@ -81,9 +100,19 @@ def reprojerr(points, pixels, intrinsics, extrinsics=None, reduction='none'):
 
 
 def knn(ref, nbr, k=1, ord=2, dim=-1, largest=False, sorted=True):
-    """Brute-force k-nearest neighbors of ``ref`` within ``nbr``.
+    """Brute-force k-nearest neighbors of each ``ref`` point within ``nbr``.
 
-    Returns KNNResult(values, indices) like torch.topk.  Ref: geometry.py:228.
+    Returns ``KNNResult(values, indices)`` like ``torch.topk``; the
+    ``(R, N)`` distance matrix is formed densely (one fused XLA program;
+    fine to ~10k x 10k on a v5e).  Ref: pypose/function/geometry.py:228.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> ref = jnp.array([[0., 0., 0.]])
+        >>> nbr = jnp.array([[5., 0., 0.], [1., 0., 0.], [3., 0., 0.]])
+        >>> res = pp.knn(ref, nbr, k=2)
+        >>> res.indices
+        Array([[1, 2]], dtype=int32)
     """
     diff = ref[..., :, None, :] - nbr[..., None, :, :]
     dist = jnp.linalg.norm(diff, axis=dim, ord=ord)
@@ -96,7 +125,20 @@ def knn(ref, nbr, k=1, ord=2, dim=-1, largest=False, sorted=True):
 
 
 def svdtf(source, target):
-    """Rigid alignment (Kabsch) source -> target as SE3.  Ref: geometry.py:315."""
+    r"""Rigid alignment (Kabsch): the SE3 ``T`` minimizing
+    :math:`\sum_i \|T \cdot s_i - t_i\|^2`, with the SVD reflection fix
+    applied branchlessly via ``where``.
+
+    Ref: pypose/function/geometry.py:315.
+
+    Example:
+        >>> import jax, jax.numpy as jnp, pypose_tpu as pp
+        >>> src = jax.random.normal(jax.random.PRNGKey(0), (10, 3))
+        >>> T = pp.randn_SE3(key=jax.random.PRNGKey(1))
+        >>> T_hat = pp.svdtf(src, T.Act(src))
+        >>> bool(jnp.allclose(T_hat.matrix(), T.matrix(), atol=1e-5))
+        True
+    """
     assert source.shape[-2] == target.shape[-2], \
         'The number of points N has to be the same for both point clouds.'
     ctnsource = source.mean(axis=-2, keepdims=True)
@@ -182,8 +224,19 @@ def random_filter(points, num, key=None):
 
 
 def voxel_filter(points, voxel, random=False, key=None):
-    """Voxel downsampling: mean (or random sample) per occupied voxel
-    (host path — data-dependent output size).  Ref: geometry.py:530."""
+    """Voxel downsampling: mean (or random sample) per occupied voxel.
+
+    Host path — the output size is data-dependent, exactly like the
+    reference's ``torch.unique`` formulation; do not call under ``jit``.
+    Ref: pypose/function/geometry.py:530.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pts = jnp.array([[0., 0., 0.], [0.2, 0., 0.], [5., 5., 5.]])
+        >>> pp.voxel_filter(pts, [1., 1., 1.])     # two occupied voxels
+        Array([[0.1, 0. , 0. ],
+               [5. , 5. , 5. ]], dtype=float32)
+    """
     points = np.asarray(points)
     assert points.ndim == 2, 'The point cloud dimension has to be 2.'
     D, vdim = points.shape[-1], len(voxel)

@@ -12,7 +12,21 @@ from .checking import is_SE3
 
 
 def chspline(points, interval=0.1):
-    """Cubic Hermite spline interpolation on R^C.  Ref: spline.py:5-104."""
+    r"""Cubic Hermite spline through waypoints ``(*, N, C)`` sampled at
+    ``interval`` (fraction of a segment); slopes are central differences.
+    The curve interpolates every waypoint.
+
+    Ref: pypose/function/spline.py:5-104.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> wp = jnp.array([[0.], [1.], [0.]])
+        >>> y = pp.chspline(wp, interval=0.5)
+        >>> y.shape                               # 2 samples/segment + end
+        (5, 1)
+        >>> bool(jnp.allclose(y[::2, 0], wp[:, 0]))   # hits the waypoints
+        True
+    """
     points = jnp.asarray(points)
     assert points.ndim >= 2, 'Dimension of points should be [..., N, C]'
     assert interval < 1.0, 'The interval should be smaller than 1.'
@@ -45,7 +59,25 @@ def chspline(points, interval=0.1):
 
 
 def bspline(data, interval=0.1, extrapolate=False):
-    """SE3 cumulative B-spline over control poses.  Ref: spline.py:105-225."""
+    r"""Cumulative cubic B-spline over SE3 control poses ``(*, N)``:
+
+    .. math:: T(t) = T_i \prod_{j=1}^{3}
+              \mathrm{Exp}\big(\tilde B_j(t)\,
+              \mathrm{Log}(T_{i+j-1}^{-1} T_{i+j})\big)
+
+    with the cumulative basis :math:`\tilde B`.  The curve is smooth but
+    does NOT interpolate the control poses (B-spline, not Hermite); pass
+    ``extrapolate=True`` to pad the ends so the output spans all inputs.
+
+    Ref: pypose/function/spline.py:105-225.
+
+    Example:
+        >>> import jax, pypose_tpu as pp
+        >>> ctrl = pp.randn_SE3(6, sigma=0.1, key=jax.random.PRNGKey(0))
+        >>> traj = pp.bspline(ctrl, interval=0.25)
+        >>> traj.ltype is pp.SE3_type, traj.lshape   # (N-3)*4 + 1 poses
+        (True, (13,))
+    """
     assert is_SE3(data), 'The input poses are not SE3Type.'
     assert len(data.lshape) >= 1, 'Dimension of data should be [..., N, C].'
     assert interval < 1.0, 'The interval should be smaller than 1.'

@@ -49,9 +49,31 @@ def _check_rotation(mat, rtol, atol):
 
 
 def mat2SO3(mat, check=True, rtol=1e-5, atol=1e-5):
-    r"""Rotation matrices (*, 3, 3) -> SO3 quaternions (*, 4).
+    r"""Rotation matrices ``(*, 3, 3)`` -> SO3 quaternions ``(*, 4)``.
 
-    Branchless 4-case quaternion extraction.  Ref: convert.py:95-147.
+    Uses the branchless 4-case quaternion extraction (one case per
+    dominant diagonal element), mask-combined so it vectorizes on TPU.
+    Also accepts ``(*, 3, 4)`` / ``(*, 4, 4)`` and reads the upper-left
+    3x3 block.
+
+    Args:
+        mat: rotation matrices.
+        check: when True and the input is concrete (not traced), raise
+            ``ValueError`` if matrices are not orthogonal with unit
+            determinant (within ``rtol/atol``).
+
+    Ref: pypose/lietensor/convert.py:95-147.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pp.mat2SO3(jnp.eye(3))
+        SO3Type LieTensor:
+        [0. 0. 0. 1.]
+        >>> import jax
+        >>> R = pp.randn_SO3(5, key=jax.random.PRNGKey(0))
+        >>> q = pp.mat2SO3(R.matrix())        # round-trip via matrices
+        >>> bool(jnp.allclose(q.matrix(), R.matrix(), atol=1e-5))
+        True
     """
     mat = _check_shape(mat)[..., :3, :3]
     if check and _is_concrete(mat):
@@ -110,7 +132,21 @@ def _check_last_row(mat, rtol, atol):
 
 
 def mat2SE3(mat, check=True, rtol=1e-5, atol=1e-5):
-    r"""(*, 3|4, 3|4) matrices -> SE3.  Ref: convert.py:148-260."""
+    r"""Transformation matrices ``(*, 3|4, 3|4)`` -> SE3 ``(*, 7)``.
+
+    The rotation block goes through :func:`mat2SO3`; the translation is
+    read from the 4th column (zeros for 3x3 input).  4x4 inputs warn if
+    the last row deviates from ``[0, 0, 0, 1]``.
+
+    Ref: pypose/lietensor/convert.py:148-260.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> M = jnp.eye(4).at[:3, 3].set(jnp.array([1., 2., 3.]))
+        >>> pp.mat2SE3(M)
+        SE3Type LieTensor:
+        [1. 2. 3. 0. 0. 0. 1.]
+    """
     mat = _check_shape(mat)
     if mat.shape[-2:] == (4, 4) and check and _is_concrete(mat):
         _check_last_row(mat, rtol, atol)
@@ -123,7 +159,19 @@ def mat2SE3(mat, check=True, rtol=1e-5, atol=1e-5):
 
 
 def mat2Sim3(mat, check=True, rtol=1e-5, atol=1e-5):
-    r"""(*, 3|4, 3|4) matrices (scaled rotation) -> Sim3.  Ref: convert.py:261-414."""
+    r"""Similarity matrices ``(*, 3|4, 3|4)`` -> Sim3 ``(*, 8)``.
+
+    The scale is recovered as ``det(sR)^(1/3)``; the de-scaled block is
+    validated/extracted by :func:`mat2SO3`.
+
+    Ref: pypose/lietensor/convert.py:261-414.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pp.mat2Sim3(2.0 * jnp.eye(3))     # pure scale
+        Sim3Type LieTensor:
+        [0. 0. 0. 0. 0. 0. 1. 2.]
+    """
     mat = _check_shape(mat)
     if mat.shape[-2:] == (4, 4) and check and _is_concrete(mat):
         _check_last_row(mat, rtol, atol)
@@ -142,7 +190,16 @@ def mat2Sim3(mat, check=True, rtol=1e-5, atol=1e-5):
 
 
 def mat2RxSO3(mat, check=True, rtol=1e-5, atol=1e-5):
-    r"""(*, 3, 3) scaled rotations -> RxSO3.  Ref: convert.py:415-515."""
+    r"""Scaled rotations ``(*, 3, 3)`` -> RxSO3 ``(*, 5)``.
+
+    Ref: pypose/lietensor/convert.py:415-515.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pp.mat2RxSO3(3.0 * jnp.eye(3))
+        RxSO3Type LieTensor:
+        [0. 0. 0. 1. 3.]
+    """
     mat = _check_shape(mat)
     rot = mat[..., :3, :3]
     s = jnp.cbrt(jnp.linalg.det(rot))[..., None]
@@ -155,7 +212,16 @@ def mat2RxSO3(mat, check=True, rtol=1e-5, atol=1e-5):
 
 
 def from_matrix(mat, ltype, check=True, rtol=1e-5, atol=1e-5):
-    r"""Generic matrix -> LieTensor dispatch.  Ref: convert.py:516-606."""
+    r"""Generic matrix -> LieTensor dispatch on ``ltype``.
+
+    Ref: pypose/lietensor/convert.py:516-606.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pp.from_matrix(jnp.eye(4), pp.SE3_type)
+        SE3Type LieTensor:
+        [0. 0. 0. 0. 0. 0. 1.]
+    """
     mat = _check_shape(mat)
     if ltype == SO3_type:
         return mat2SO3(mat, check=check, rtol=rtol, atol=atol)
@@ -171,7 +237,22 @@ def from_matrix(mat, ltype, check=True, rtol=1e-5, atol=1e-5):
 
 
 def euler2SO3(euler, **kwargs):
-    r"""Euler RPY angles (*, 3) -> SO3.  Ref: convert.py:607-665."""
+    r"""Euler angles ``(*, 3)`` (roll, pitch, yaw; radians) -> SO3.
+
+    Intrinsic x-y-z convention, matching the reference.
+
+    Ref: pypose/lietensor/convert.py:607-665.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pp.euler2SO3(jnp.zeros(3))
+        SO3Type LieTensor:
+        [0. 0. 0. 1.]
+        >>> q = pp.euler2SO3(jnp.array([0.1, -0.2, 0.3]))
+        >>> bool(jnp.allclose(q.euler(), jnp.array([0.1, -0.2, 0.3]),
+        ...                   atol=1e-6))    # euler() round-trips
+        True
+    """
     euler = jnp.asarray(euler, **kwargs)
     assert euler.shape[-1] == 3
     shape = euler.shape
@@ -188,32 +269,70 @@ def euler2SO3(euler, **kwargs):
 
 
 def tensor(inputs):
-    """Storage array of a LieTensor.  Ref: convert.py:666."""
+    """Storage array of a LieTensor.  Ref: pypose/lietensor/convert.py:666.
+
+    Example:
+        >>> import pypose_tpu as pp
+        >>> pp.tensor(pp.identity_SO3())
+        Array([0., 0., 0., 1.], dtype=float32)
+    """
     return inputs.tensor()
 
 
 def translation(inputs):
+    """Translation part ``(*, 3)`` (zeros for SO3/RxSO3).
+    Ref: pypose/lietensor/convert.py:668-700.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pp.translation(pp.SE3(jnp.array([1., 2., 3., 0., 0., 0., 1.])))
+        Array([1., 2., 3.], dtype=float32)
+    """
     return inputs.translation()
 
 
 def rotation(inputs):
+    """Rotation part as an SO3 LieTensor.
+    Ref: pypose/lietensor/convert.py:702-734."""
     return inputs.rotation()
 
 
 def scale(inputs):
+    """Scale part ``(*, 1)`` (ones for SO3/SE3).
+    Ref: pypose/lietensor/convert.py:736-768."""
     return inputs.scale()
 
 
 def matrix(inputs):
+    """Dense matrix form: 3x3 (SO3/RxSO3) or 4x4 (SE3/Sim3).
+    Ref: pypose/lietensor/convert.py:770-800.
+
+    Example:
+        >>> import pypose_tpu as pp
+        >>> pp.matrix(pp.identity_SE3()).shape
+        (4, 4)
+    """
     return inputs.matrix()
 
 
 def euler(inputs, eps=2e-4):
+    """Euler angles (roll, pitch, yaw) of the rotation part, with the
+    gimbal-lock branch taken when |pitch| is within ``eps`` of pi/2.
+    Ref: pypose/lietensor/convert.py:802-828."""
     return inputs.euler(eps=eps)
 
 
 def quat2unit(input, eps=1e-12):
-    r"""Normalize the quaternion part of a group LieTensor.  Ref: convert.py:830-862."""
+    r"""Normalize the quaternion part of a group LieTensor.
+
+    Ref: pypose/lietensor/convert.py:830-862.
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> pp.quat2unit(pp.SO3(jnp.array([0., 0., 0., 2.])))
+        SO3Type LieTensor:
+        [0. 0. 0. 1.]
+    """
     if isinstance(input, LieTensor) and input.ltype in liegroup:
         data = input.tensor()
         if input.ltype in (SO3_type, RxSO3_type):

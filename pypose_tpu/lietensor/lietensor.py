@@ -513,6 +513,28 @@ class LieTensor:
     perturbation convention: ``jax.grad`` w.r.t. an SE3 returns a (*, 7)
     array whose first 6 entries are the left-tangent gradient and whose
     last entry is 0.
+
+    Example:
+        >>> import jax, jax.numpy as jnp, pypose_tpu as pp
+        >>> X = pp.randn_SE3(2, key=jax.random.PRNGKey(0))
+        >>> X.lshape, X.shape                 # batch shape vs storage shape
+        ((2,), (2, 7))
+        >>> I = X @ X.Inv()                   # X * X^-1 == identity
+        >>> bool(jnp.allclose(I.Log().tensor(), 0., atol=1e-6))
+        True
+
+        LieTensors flow through JAX transforms with ltype preserved:
+
+        >>> f = jax.jit(jax.vmap(lambda T: T.Act(jnp.ones(3))))
+        >>> f(X).shape
+        (2, 3)
+
+        Gradient w.r.t. a group element is the left-trivialized tangent
+        in storage shape (last channel zero):
+
+        >>> g = jax.grad(lambda T: T.Act(jnp.ones(3)).sum())(X[0])
+        >>> g.tensor().shape, float(g.tensor()[-1])
+        ((7,), 0.0)
     """
 
     __slots__ = ('_data', '_ltype')

@@ -228,9 +228,34 @@ def pair_id(traj, delta=1.0, associate='frame', rtol=0.1, all=False):
 def ape(rstamp=None, rpose=None, estamp=None, epose=None,
         etype='translation', diff=0.01, offset=0.0, align=False, scale=False,
         nposes=-1, origin=False, thresh=0.3, otype='All'):
-    r"""Absolute pose error with optional SE3/Sim3 alignment.
+    r"""Absolute pose error between a reference and an estimated
+    trajectory, after nearest-timestamp association and (optionally)
+    SE3 (``align=True``) or Sim3 (``scale=True``) Umeyama alignment.
 
-    Ref: ape_rpe.py:407-537.
+    Args:
+        rstamp, rpose: reference timestamps (or None for frame indices)
+            and SE3 poses.
+        estamp, epose: estimated trajectory.
+        etype: error type — 'translation' | 'rotation' | 'full' |
+            'rad' | 'deg'.
+        otype: 'All' for the stats dict (Max/Min/Mean/Median/RMSE/SSE/
+            STD) or one stat name.
+
+    Returns:
+        dict of statistics (or a scalar when ``otype`` names one).
+
+    Note: ``Median`` averages the two middle values on even counts
+    (jnp.median), where torch.median takes the lower — pinned by
+    tests/metric/test_reference_parity_metric.py.
+
+    Ref: pypose/metric/ape_rpe.py:407-537.
+
+    Example:
+        >>> import jax, pypose_tpu as pp
+        >>> pose = pp.randn_SE3(20, sigma=0.1, key=jax.random.PRNGKey(0))
+        >>> stats = pp.metric.ape(rpose=pose, epose=pose)   # identical
+        >>> round(float(stats['RMSE']), 6)
+        0.0
     """
     rtraj, etraj = StampedSE3(rstamp, rpose), StampedSE3(estamp, epose)
     rtraj, etraj = associate_traj(rtraj, etraj, diff, offset, thresh)
@@ -252,9 +277,20 @@ def rpe(rstamp=None, rpose=None, estamp=None, epose=None,
         etype='translation', diff=0.01, offset=0.0, align=False, scale=False,
         nposes=-1, origin=False, associate='frame', delta=1.0, rtol=0.1,
         all=False, thresh=0.3, rpair=False, otype='All'):
-    r"""Relative pose error with frame/distance pair selection.
+    r"""Relative pose error: APE over relative motions
+    :math:`(P_i^{-1} P_j)` with pairs selected by frame delta
+    (``associate='frame'``) or traveled distance
+    (``associate='distance'``); drift per unit motion rather than
+    absolute drift.
 
-    Ref: ape_rpe.py:539-691.
+    Ref: pypose/metric/ape_rpe.py:539-691.
+
+    Example:
+        >>> import jax, pypose_tpu as pp
+        >>> pose = pp.randn_SE3(20, sigma=0.1, key=jax.random.PRNGKey(0))
+        >>> stats = pp.metric.rpe(rpose=pose, epose=pose, delta=1.0)
+        >>> round(float(stats['Max']), 6)
+        0.0
     """
     rtraj, etraj = StampedSE3(rstamp, rpose), StampedSE3(estamp, epose)
     rtraj, etraj = associate_traj(rtraj, etraj, diff, offset, thresh)

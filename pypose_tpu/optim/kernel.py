@@ -11,9 +11,22 @@ import jax.numpy as jnp
 
 
 class Huber:
-    r"""Huber kernel: x if sqrt(x) < delta else 2 delta sqrt(x) - delta^2.
+    r"""Huber kernel on the squared residual norm :math:`x = \|r\|^2`:
 
-    Ref: kernel.py:5-55.
+    .. math:: \rho(x) = \begin{cases} x & \sqrt{x} < \delta \\
+              2\delta\sqrt{x} - \delta^2 & \text{otherwise} \end{cases}
+
+    Quadratic near zero, linear in ``||r||`` for outliers.  The branch is
+    a ``jnp.where`` (not mask indexing) so it vectorizes on TPU and
+    ``jax.grad`` flows through it (the correctors differentiate kernels).
+
+    Ref: pypose/optim/kernel.py:5-55.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> from pypose_tpu.optim.kernel import Huber
+        >>> Huber(delta=2.0)(jnp.array([1.0, 9.0]))   # 1 < 4: quadratic
+        Array([1., 8.], dtype=float32)
     """
 
     def __init__(self, delta=1.0):
@@ -29,7 +42,17 @@ class Huber:
 
 
 class PseudoHuber:
-    r"""2 delta^2 (sqrt(x/delta^2 + 1) - 1).  Ref: kernel.py:56-96."""
+    r"""Smooth Huber approximation
+    :math:`\rho(x) = 2\delta^2(\sqrt{x/\delta^2 + 1} - 1)` —
+    :math:`C^\infty` everywhere (unlike :class:`Huber`), same quadratic /
+    linear asymptotics.  Ref: pypose/optim/kernel.py:56-96.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> from pypose_tpu.optim.kernel import PseudoHuber
+        >>> PseudoHuber(delta=1.0)(jnp.array([0.0]))
+        Array([0.], dtype=float32)
+    """
 
     def __init__(self, delta=1.0):
         assert delta > 0, ValueError(
@@ -41,7 +64,17 @@ class PseudoHuber:
 
 
 class Cauchy:
-    r"""delta^2 log(x/delta^2 + 1).  Ref: kernel.py:97-136."""
+    r"""Cauchy (Lorentzian) kernel
+    :math:`\rho(x) = \delta^2 \log(x/\delta^2 + 1)` — logarithmic outlier
+    growth, the strongest down-weighting of the family.
+    Ref: pypose/optim/kernel.py:97-136.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> from pypose_tpu.optim.kernel import Cauchy
+        >>> float(Cauchy(delta=1.0)(jnp.asarray(jnp.e - 1)).round(5))
+        1.0
+    """
 
     def __init__(self, delta=1.0):
         assert delta > 0, ValueError(

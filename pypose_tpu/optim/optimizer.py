@@ -183,8 +183,44 @@ class _Optimizer:
 
 
 class GaussNewton(_Optimizer):
-    r"""Gauss-Newton: solves J d = -R by pseudo-inversion (deliberately not
-    the normal equations).  Ref: optimizer.py:143-328.
+    r"""Gauss-Newton optimizer for nonlinear least squares:
+
+    .. math:: \min_{\theta} \sum_i \rho_i\big(\|r_i(\theta)\|^2\big)
+
+    Each step solves :math:`J\,\delta = -r` by pseudo-inversion
+    (deliberately NOT the normal equations — same conditioning choice as
+    the reference) and retracts: LieTensor parameters update by
+    ``Exp(delta) * X``, Euclidean ones by addition.  The whole step —
+    residuals, ``jacrev``, kernel correction, solve, retraction — is ONE
+    jitted XLA program; ``optimize()`` additionally runs the
+    StopOnPlateau loop on device (a single host sync per optimization).
+
+    Args:
+        model: a :class:`pypose_tpu.Module` whose ``forward`` returns the
+            residual array (or a tuple of them); its
+            :class:`pypose_tpu.Parameter` leaves are optimized.
+        solver: linear solver (default :class:`pypose_tpu.optim.PINV`).
+        kernel: robust kernel(s) applied to squared residual norms.
+        corrector: residual/Jacobian corrector(s); defaults to
+            :class:`FastTriggs` when a kernel is given.
+        weight: optional block weight matrix (information matrix).
+
+    Ref: pypose/optim/optimizer.py:143-328.
+
+    Example:
+        >>> import jax, pypose_tpu as pp
+        >>> class PoseInv(pp.Module):
+        ...     def __init__(self):
+        ...         super().__init__()
+        ...         self.pose = pp.Parameter(pp.identity_se3(2))
+        ...     def forward(self, input):
+        ...         return (self.pose.Exp() @ input).Log().tensor()
+        >>> target = pp.randn_SE3(2, sigma=0.5, key=jax.random.PRNGKey(0))
+        >>> opt = pp.optim.GN(PoseInv())
+        >>> for _ in range(4):
+        ...     loss = opt.step(target)
+        >>> loss < 1e-7                       # converged in 4 iterations
+        True
     """
 
     def __init__(self, model, solver=None, kernel=None, corrector=None,
@@ -273,12 +309,48 @@ GN = GaussNewton
 
 
 class LevenbergMarquardt(_Optimizer):
-    r"""LM with damped normal equations, pluggable strategy, and an inner
-    reject loop as a ``lax.while_loop``.  Ref: optimizer.py:330-680.
+    r"""Levenberg-Marquardt optimizer: damped normal equations
 
-    The ``sparse=True`` factor-graph path lives in
-    :mod:`pypose_tpu.optim.sparse` (TPU-native block-sparse design replacing
-    the external CUDA backend, optimizer.py:629-643).
+    .. math:: (J^\top W J + \lambda\,\mathrm{diag}(J^\top W J))\,\delta
+              = -J^\top W r
+
+    with a pluggable damping strategy (:class:`Constant`,
+    :class:`Adaptive`, :class:`TrustRegion`) and the reference's
+    reject-retry semantics (pypose/optim/optimizer.py:662-679): a step
+    that increases the loss is rejected up to ``reject`` times with
+    increased damping.  On TPU the reject loop is a ``lax.while_loop``
+    carried on device — retries never pay a host round-trip — and
+    ``optimize()`` wraps the whole StopOnPlateau schedule into one
+    program.
+
+    The ``sparse=True`` factor-graph path of the reference maps to
+    :class:`pypose_tpu.optim.sparse.SparseLM` (TPU-native block-sparse
+    design replacing the external CUDA backend, optimizer.py:629-643).
+
+    Ref: pypose/optim/optimizer.py:330-680.
+
+    Example:
+        >>> import jax, pypose_tpu as pp
+        >>> from pypose_tpu.optim.strategy import Adaptive
+        >>> class PoseInv(pp.Module):
+        ...     def __init__(self):
+        ...         super().__init__()
+        ...         self.pose = pp.Parameter(pp.identity_se3(2))
+        ...     def forward(self, input):
+        ...         return (self.pose.Exp() @ input).Log().tensor()
+        >>> target = pp.randn_SE3(2, sigma=0.5, key=jax.random.PRNGKey(1))
+        >>> opt = pp.optim.LM(PoseInv(), strategy=Adaptive(damping=1e-6))
+        >>> for _ in range(4):
+        ...     loss = opt.step(target)
+        >>> loss < 1e-7                       # converged in 4 iterations
+        True
+
+        Or run the whole schedule device-side:
+
+        >>> opt2 = pp.optim.LM(PoseInv())
+        >>> final = opt2.optimize(target, steps=6)
+        >>> final < 1e-7 and len(opt2.history) <= 6
+        True
     """
 
     def __init__(self, model, solver=None, strategy=None, kernel=None,
@@ -436,6 +508,24 @@ def make_batch_optimizer(model, steps=10, strategy=None, kernel=None,
 
     Returns ``solve(input, target=None, weight=None) ->
     (params_batched, losses)``.
+
+    Example:
+        >>> import jax, pypose_tpu as pp
+        >>> from pypose_tpu.optim import make_batch_optimizer
+        >>> from pypose_tpu.optim.strategy import Constant
+        >>> class PoseInv(pp.Module):
+        ...     def __init__(self):
+        ...         super().__init__()
+        ...         self.pose = pp.Parameter(pp.identity_se3(1))
+        ...     def forward(self, input):
+        ...         return (self.pose.Exp() @ input).Log().tensor()
+        >>> solve = make_batch_optimizer(PoseInv(), steps=4,
+        ...                              strategy=Constant(damping=1e-6))
+        >>> targets = pp.randn_SE3(32, 1, sigma=0.3,
+        ...                        key=jax.random.PRNGKey(0))
+        >>> params, losses = solve(targets)   # 32 problems, one program
+        >>> bool(losses.max() < 1e-8)
+        True
     """
     opt = LevenbergMarquardt(model, strategy=strategy, kernel=kernel,
                              solver=solver)

@@ -38,9 +38,27 @@ class _Scheduler:
 
 
 class StopOnPlateau(_Scheduler):
-    """Stop when loss plateaus / max steps / optimizer rejection.
+    r"""Scheduler that stops when the loss decrease falls below
+    ``decreasing`` for ``patience`` consecutive steps, when ``steps`` is
+    reached, or when the optimizer rejects a step.
 
-    Ref: scheduler.py:64-203.
+    Ref: pypose/optim/scheduler.py:64-203.
+
+    Example:
+        >>> import jax, pypose_tpu as pp
+        >>> from pypose_tpu.optim.scheduler import StopOnPlateau
+        >>> class PoseInv(pp.Module):
+        ...     def __init__(self):
+        ...         super().__init__()
+        ...         self.pose = pp.Parameter(pp.identity_se3(2))
+        ...     def forward(self, input):
+        ...         return (self.pose.Exp() @ input).Log().tensor()
+        >>> target = pp.randn_SE3(2, sigma=0.4, key=jax.random.PRNGKey(0))
+        >>> opt = pp.optim.LM(PoseInv())
+        >>> sched = StopOnPlateau(opt, steps=10, patience=3)
+        >>> loss = sched.optimize(target)     # whole loop on device
+        >>> loss < 1e-7
+        True
     """
 
     def __init__(self, optimizer, steps, patience=5, decreasing=1e-3,

@@ -20,7 +20,16 @@ def _quality(last, loss, J, D, R):
 
 
 class Constant:
-    """Constant damping.  Ref: strategy.py:5-47."""
+    """Constant LM damping (classic Levenberg).
+
+    Ref: pypose/optim/strategy.py:5-47.
+
+    Example:
+        >>> from pypose_tpu.optim.strategy import Constant
+        >>> s = Constant(damping=1e-4)
+        >>> round(float(s.init()['damping']), 6)
+        0.0001
+    """
 
     def __init__(self, damping=1e-6):
         assert damping > 0, ValueError(
@@ -35,7 +44,24 @@ class Constant:
 
 
 class Adaptive:
-    """Gain-ratio adaptive damping.  Ref: strategy.py:49-151."""
+    r"""Gain-ratio adaptive damping: multiply damping by ``down`` when the
+    step quality :math:`q = (\text{actual reduction})/(\text{predicted
+    reduction})` exceeds ``high``, by ``up`` when below ``low``.
+
+    State is a tiny jnp-scalar pytree and ``update`` is pure, so the
+    whole damping schedule lives inside the device-side LM
+    ``lax.while_loop``.  Ref: pypose/optim/strategy.py:49-151.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> from pypose_tpu.optim.strategy import Adaptive
+        >>> s = Adaptive(damping=1e-2, up=2.0, down=0.5)
+        >>> st = s.init()
+        >>> J = jnp.eye(2); D = -jnp.ones((2, 1)); R = jnp.ones((2, 1))
+        >>> st2 = s.update(st, last=2.0, loss=0.1, J=J, D=D, R=R)
+        >>> round(float(st2['damping']), 6)   # good step: damping halves
+        0.005
+    """
 
     def __init__(self, damping=1e-6, high=0.5, low=1e-3, up=2., down=0.5,
                  min=1e-6, max=1e16):
@@ -58,8 +84,19 @@ class Adaptive:
 
 
 class TrustRegion:
-    """Ceres-style trust region (radius = 1/damping) with shrinking
-    down-factor.  Ref: strategy.py:154-273."""
+    r"""Ceres-style trust region: damping is the reciprocal radius, the
+    radius grows by ``up`` on high-quality steps and shrinks by a
+    ``down`` factor that itself decays (``factor``) on consecutive poor
+    steps — fast recovery after a rejected step.
+
+    Ref: pypose/optim/strategy.py:154-273.
+
+    Example:
+        >>> from pypose_tpu.optim.strategy import TrustRegion
+        >>> s = TrustRegion(radius=1e4)
+        >>> round(float(s.init()['damping']), 6)
+        0.0001
+    """
 
     def __init__(self, radius=1e6, high=0.5, low=1e-3, up=2., down=0.5,
                  factor=0.5, min=1e-6, max=1e16):
