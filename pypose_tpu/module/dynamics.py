@@ -57,9 +57,21 @@ class System(Module):
 
 
 class LTI(System):
-    r"""Linear time-invariant system x' = Ax + Bu + c1; y = Cx + Du + c2.
+    r"""Linear time-invariant system
+    :math:`x' = Ax + Bu + c_1;\ y = Cx + Du + c_2` with batched matrix
+    coefficients.
 
-    Ref: dynamics.py:118-262.
+    Ref: pypose/module/dynamics.py:118-262.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> from pypose_tpu.module import LTI
+        >>> A = jnp.eye(2); B = jnp.ones((2, 1))
+        >>> C = jnp.eye(2); D = jnp.zeros((2, 1))
+        >>> sys = LTI(A, B, C, D)
+        >>> x1, y = sys(jnp.zeros(2), jnp.ones(1))
+        >>> x1
+        Array([1., 1.], dtype=float32)
     """
 
     def __init__(self, A, B, C, D, c1=None, c2=None):

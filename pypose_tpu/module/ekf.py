@@ -7,8 +7,34 @@ from ..function.linalg import bmv
 
 
 class EKF(Module):
-    r"""Batched EKF: linearize via the model's NLS properties, then
-    predict / gain / update.  Ref: ekf.py:7-197 (forward :132-164).
+    r"""Batched Extended Kalman Filter: linearize the system at the
+    current estimate via the model's NLS auto-Jacobians (``jacrev`` of
+    ``state_transition``/``observation``), then predict / gain / update:
+
+    .. math:: P^- = A P A^\top + Q,\quad
+              K = P^- C^\top (C P^- C^\top + R)^{-1},\quad
+              P^+ = (I - KC)\,P^-(I - KC)^\top + K R K^\top
+
+    (Joseph-form update).  One ``forward`` call is one filter step; for
+    long rollouts use :func:`pypose_tpu.module.filter_rollout`, which
+    scans the whole trajectory as one XLA program.
+
+    Ref: pypose/module/ekf.py:7-197 (forward :132-164).
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> from pypose_tpu.module import NLS, EKF
+        >>> class Sys(NLS):
+        ...     def state_transition(self, state, input, t=None):
+        ...         return jnp.cos(state) + input
+        ...     def observation(self, state, input, t=None):
+        ...         return jnp.sin(state) + input
+        >>> ekf = EKF(Sys(), Q=jnp.eye(2) * 0.01, R=jnp.eye(2) * 0.01)
+        >>> x, P = jnp.zeros(2), jnp.eye(2) * 100.0
+        >>> y, u = jnp.array([0.1, -0.1]), jnp.zeros(2)
+        >>> x1, P1 = ekf(x, y, u, P)
+        >>> bool(jnp.trace(P1) < jnp.trace(P))    # uncertainty contracts
+        True
     """
 
     def __init__(self, model, Q=None, R=None):

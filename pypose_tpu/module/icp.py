@@ -25,9 +25,23 @@ from ..lietensor.lietensor import LieTensor, SE3_type
 
 
 class ICP(Module):
-    r"""Batched ICP returning the SE3 aligning source to target.
+    r"""Batched Iterative Closest Point: returns the SE3 aligning
+    ``source`` ``(*, N, 3)`` to ``target`` ``(*, M, 3)``.  Each sweep is
+    nearest-neighbor association (:func:`pypose_tpu.knn`) + Kabsch
+    (:func:`pypose_tpu.svdtf`); the stepper-controlled loop runs as one
+    cached jitted ``lax.while_loop`` on device.
 
-    Ref: icp.py:7-110 (forward :73).
+    Ref: pypose/module/icp.py:7-110 (forward :73).
+
+    Example:
+        >>> import jax, jax.numpy as jnp, pypose_tpu as pp
+        >>> from pypose_tpu.module import ICP
+        >>> src = jax.random.normal(jax.random.PRNGKey(0), (60, 3))
+        >>> T = pp.randn_SE3(sigma=(0.2, 0.1), key=jax.random.PRNGKey(1))
+        >>> T_est = ICP()(src, T.Act(src))
+        >>> err = (T_est.Inv() @ T).Log().tensor()
+        >>> bool(jnp.abs(err).max() < 1e-2)
+        True
     """
 
     def __init__(self, stepper=None, init=None):

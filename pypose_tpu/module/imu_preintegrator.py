@@ -16,10 +16,31 @@ from ..lietensor.utils import identity_SO3, so3
 
 
 class IMUPreintegrator(Module):
-    r"""Propagates IMU measurements between discrete frames.
+    r"""Propagates IMU measurements (gyro + accelerometer) between
+    discrete frames, with optional 9x9 covariance propagation.
 
-    Ref: imu_preintegrator.py:8-465 (forward :128, integrate :314,
-    predict :387, propagate_cov :429).
+    Both the SO3 increment product and the covariance recursion run as
+    O(log F) ``lax.associative_scan`` programs (the reference loops in
+    Python, pypose/imu_preintegrator.py:429-464), and the whole pipeline
+    compiles into one cached jitted program.  Integration state persists
+    across calls for resumable streams unless ``reset=True``.
+
+    Ref: pypose/module/imu_preintegrator.py:8-465 (forward :128,
+    integrate :314, predict :387, propagate_cov :429).
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> from pypose_tpu.module import IMUPreintegrator
+        >>> integ = IMUPreintegrator(reset=True)
+        >>> F = 10
+        >>> dt = jnp.full((1, F, 1), 0.01)
+        >>> gyro = jnp.zeros((1, F, 3))            # stationary IMU
+        >>> acc = jnp.broadcast_to(jnp.array([0., 0., 9.81007]), (1, F, 3))
+        >>> out = integ(dt, gyro, acc)
+        >>> bool(jnp.abs(out['pos'][0, -1]).max() < 1e-5)   # no motion
+        True
+        >>> out['cov'].shape
+        (1, 9, 9)
     """
 
     def __init__(self, pos=jnp.zeros(3), rot=identity_SO3(),

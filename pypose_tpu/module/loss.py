@@ -7,7 +7,19 @@ from ..function.checking import is_lietensor
 
 
 def geodesic_loss(input, target, reduction='mean'):
-    r"""Rotation geodesic distance ||Log(x y^-1)||.  Ref: loss.py:6-38."""
+    r"""Rotation geodesic distance :math:`\|\mathrm{Log}(x\,y^{-1})\|`
+    between the rotation parts of two group LieTensors, with
+    'none' | 'mean' | 'sum' reduction.
+
+    Ref: pypose/module/loss.py:6-38.
+
+    Example:
+        >>> import jax, pypose_tpu as pp
+        >>> from pypose_tpu.module import geodesic_loss
+        >>> q = pp.randn_SO3(4, key=jax.random.PRNGKey(0))
+        >>> bool(geodesic_loss(q, q) < 1e-6)  # zero distance to itself
+        True
+    """
     assert is_lietensor(input) and is_lietensor(target), \
         'input should be LieTensor'
     assert reduction in ['none', 'mean', 'sum'], \

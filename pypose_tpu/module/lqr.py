@@ -20,10 +20,31 @@ from .dynamics import LTI
 
 
 class LQR(Module):
-    r"""LQR with quadratic cost Q (stage cost over [x; u]) and linear cost p.
+    r"""Finite-horizon LQR: minimizes the quadratic stage cost
+    :math:`\frac12 [x;u]^\top Q [x;u] + p^\top [x;u]` over horizon ``T``
+    subject to the system dynamics (LTI/LTV directly; NLS systems are
+    linearized about the nominal trajectory each step).
 
-    Ref: lqr.py:8-380.  ``u_lower``/``u_upper``/``du`` are accepted for API
-    parity but unused, matching the reference (lqr.py:284-308 ignores them).
+    Both the Riccati backward recursion and the forward rollout are
+    ``lax.scan`` programs, so compile time is O(1) in ``T``.
+    ``u_lower``/``u_upper``/``du`` are accepted for API parity but
+    unused, matching the reference (pypose/module/lqr.py:284-308 ignores
+    them).
+
+    Ref: pypose/module/lqr.py:8-380.
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> from pypose_tpu.module import LTI, LQR
+        >>> ns, nc, T = 2, 1, 4
+        >>> A = jnp.eye(ns); B = jnp.ones((ns, nc))
+        >>> sys = LTI(A, B, jnp.eye(ns), jnp.zeros((ns, nc)))
+        >>> Q = jnp.eye(ns + nc)[None]        # stage cost over [x; u]
+        >>> p = jnp.zeros(ns + nc)[None]
+        >>> lqr = LQR(sys, Q, p, T)
+        >>> x, u, cost = lqr(jnp.ones(ns)[None])
+        >>> x.shape, u.shape                  # T+1 states, T controls
+        ((1, 5, 2), (1, 4, 1))
     """
 
     def __init__(self, system, Q, p, T):

@@ -20,9 +20,27 @@ from .lqr import LQR
 
 
 class MPC(Module):
-    r"""MPC: iLQR under a ReduceToBason stepper + final differentiable pass.
+    r"""Model Predictive Control by iLQR: re-linearize the (nonlinear)
+    system about the current trajectory and solve an LQR subproblem until
+    the :class:`ReduceToBason` stepper converges, then run one final
+    differentiable LQR pass so gradients flow to system/cost parameters
+    (the reference's structure, pypose/module/mpc.py:206-239).  The iLQR
+    iteration runs on device as a cached jitted ``lax.while_loop``.
 
-    Ref: mpc.py:7-239 (forward :206).
+    Ref: pypose/module/mpc.py:7-239 (forward :206).
+
+    Example:
+        >>> import jax.numpy as jnp
+        >>> from pypose_tpu.module import LTI, MPC
+        >>> ns, nc, T = 2, 1, 4
+        >>> sys = LTI(jnp.eye(ns), jnp.ones((ns, nc)), jnp.eye(ns),
+        ...           jnp.zeros((ns, nc)))
+        >>> Q = jnp.eye(ns + nc)[None]
+        >>> p = jnp.zeros(ns + nc)[None]
+        >>> mpc = MPC(sys, Q, p, T)
+        >>> x, u, cost = mpc(None, jnp.ones(ns)[None])
+        >>> u.shape
+        (1, 4, 1)
     """
 
     def __init__(self, system, Q, p, T, stepper=None):

@@ -9,8 +9,27 @@ from ..lietensor.lietensor import _next_key
 
 
 class PF(EKF):
-    r"""Batched particle filter with likelihood weighting and inverse-CDF
-    resampling.  Ref: pf.py:8-196 (forward :130).
+    r"""Batched particle filter: samples ``particles`` states from
+    N(x, P), propagates them through the full nonlinear model, weights by
+    Gaussian observation likelihood, and resamples by inverse-CDF — all
+    fixed-shape ops, so the filter jits and vmaps.
+
+    Ref: pypose/module/pf.py:8-196 (forward :130).
+
+    Example:
+        >>> import jax, jax.numpy as jnp, pypose_tpu as pp
+        >>> from pypose_tpu.module import NLS, PF
+        >>> class Sys(NLS):
+        ...     def state_transition(self, state, input, t=None):
+        ...         return jnp.cos(state) + input
+        ...     def observation(self, state, input, t=None):
+        ...         return jnp.sin(state) + input
+        >>> pf = PF(Sys(), Q=jnp.eye(2) * 0.01, R=jnp.eye(2) * 0.01,
+        ...         particles=200)
+        >>> x1, P1 = pf(jnp.zeros(2), jnp.array([0.1, -0.1]), jnp.zeros(2),
+        ...             jnp.eye(2), key=jax.random.PRNGKey(0))
+        >>> x1.shape, P1.shape
+        ((2,), (2, 2))
     """
 
     def __init__(self, model, Q=None, R=None, particles=1000):

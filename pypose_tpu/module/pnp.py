@@ -38,7 +38,32 @@ class BetaObjective(Module):
 
 
 class EPnP(Module):
-    r"""Batched EPnP.  Ref: pnp.py:29-291 (forward :136)."""
+    r"""Batched EPnP perspective-n-point solver: expresses the n world
+    points in a 4-control-point barycentric basis, solves the camera-frame
+    control points from the 2n x 12 projection system (SVD null space +
+    beta candidates), and optionally refines the betas by Gauss-Newton —
+    the refinement is inlined into the same jitted program.
+
+    Returns the world -> camera SE3.
+
+    Ref: pypose/module/pnp.py:29-291 (forward :136).
+
+    Example:
+        >>> import jax, jax.numpy as jnp, pypose_tpu as pp
+        >>> from pypose_tpu.module import EPnP
+        >>> pts_cam = jax.random.uniform(
+        ...     jax.random.PRNGKey(0), (12, 3),
+        ...     minval=jnp.array([-2., -2., 4.]),
+        ...     maxval=jnp.array([2., 2., 12.]))
+        >>> T = pp.randn_SE3(sigma=(0.4, 0.2), key=jax.random.PRNGKey(1))
+        >>> K = jnp.array([[500., 0., 320.], [0., 500., 240.], [0., 0., 1.]])
+        >>> pix = pp.point2pixel(pts_cam, K)
+        >>> world = T.Inv().unsqueeze(-2).Act(pts_cam)
+        >>> pose = EPnP(intrinsics=K, refine=False)(world, pix)
+        >>> err = (pose.Inv() @ T).Log().tensor()
+        >>> bool(jnp.abs(err).max() < 1e-2)
+        True
+    """
 
     def __init__(self, intrinsics=None, refine=True):
         super().__init__()

@@ -7,9 +7,26 @@ from ..function.linalg import bmv
 
 
 class UKF(EKF):
-    r"""Batched UKF with sigma points via matrix square root.
+    r"""Batched Unscented Kalman Filter: propagates ``2n+1`` sigma points
+    through the full nonlinear model (no Jacobians) with spread parameter
+    ``k`` (default ``3 - n``) and a pluggable matrix square root
+    (default Cholesky).
 
-    Ref: ukf.py:7-231 (forward :163, compute_cov :228).
+    Ref: pypose/module/ukf.py:7-231 (forward :163, compute_cov :228).
+
+    Example:
+        >>> import jax.numpy as jnp, pypose_tpu as pp
+        >>> from pypose_tpu.module import NLS, UKF
+        >>> class Sys(NLS):
+        ...     def state_transition(self, state, input, t=None):
+        ...         return jnp.cos(state) + input
+        ...     def observation(self, state, input, t=None):
+        ...         return jnp.sin(state) + input
+        >>> ukf = UKF(Sys(), Q=jnp.eye(2) * 0.01, R=jnp.eye(2) * 0.01)
+        >>> x, P = jnp.zeros(2), jnp.eye(2)
+        >>> x1, P1 = ukf(x, jnp.array([0.1, -0.1]), jnp.zeros(2), P)
+        >>> x1.shape, P1.shape
+        ((2,), (2, 2))
     """
 
     def __init__(self, model, Q=None, R=None, msqrt=None):

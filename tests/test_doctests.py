@@ -23,7 +23,19 @@ import pypose_tpu.optim.optimizer
 import pypose_tpu.optim.kernel
 import pypose_tpu.optim.strategy
 import pypose_tpu.optim.scheduler
+import pypose_tpu.optim.sparse
+import pypose_tpu.optim.ba
 import pypose_tpu.metric.ape_rpe
+import pypose_tpu.module.dynamics
+import pypose_tpu.module.ekf
+import pypose_tpu.module.ukf
+import pypose_tpu.module.pf
+import pypose_tpu.module.lqr
+import pypose_tpu.module.mpc
+import pypose_tpu.module.icp
+import pypose_tpu.module.pnp
+import pypose_tpu.module.loss
+import pypose_tpu.module.imu_preintegrator
 
 MODULES = [
     pypose_tpu.lietensor.utils,
@@ -38,7 +50,19 @@ MODULES = [
     pypose_tpu.optim.kernel,
     pypose_tpu.optim.strategy,
     pypose_tpu.optim.scheduler,
+    pypose_tpu.optim.sparse,
+    pypose_tpu.optim.ba,
     pypose_tpu.metric.ape_rpe,
+    pypose_tpu.module.dynamics,
+    pypose_tpu.module.ekf,
+    pypose_tpu.module.ukf,
+    pypose_tpu.module.pf,
+    pypose_tpu.module.lqr,
+    pypose_tpu.module.mpc,
+    pypose_tpu.module.icp,
+    pypose_tpu.module.pnp,
+    pypose_tpu.module.loss,
+    pypose_tpu.module.imu_preintegrator,
 ]
 
 
