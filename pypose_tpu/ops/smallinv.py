@@ -75,3 +75,22 @@ def blockinv(M):
     if n == 6:
         return inv6x6(M)
     return jnp.linalg.inv(M)
+
+
+def chol3x3(A):
+    """Batched closed-form lower Cholesky of 3x3 SPD matrices.
+
+    Unrolled scalar recurrences (no LAPACK loop) — used by the dense-Schur
+    BA path to split Hpp^-1 into L L^T so the reduced camera system can be
+    formed as one Gram matmul.
+    """
+    a11 = jnp.sqrt(A[..., 0, 0])
+    l21 = A[..., 1, 0] / a11
+    l31 = A[..., 2, 0] / a11
+    a22 = jnp.sqrt(A[..., 1, 1] - l21 * l21)
+    l32 = (A[..., 2, 1] - l31 * l21) / a22
+    a33 = jnp.sqrt(A[..., 2, 2] - l31 * l31 - l32 * l32)
+    z = jnp.zeros_like(a11)
+    return jnp.stack([jnp.stack([a11, z, z], -1),
+                      jnp.stack([l21, a22, z], -1),
+                      jnp.stack([l31, l32, a33], -1)], -2)

@@ -28,7 +28,7 @@ _HI = jax.lax.Precision.HIGHEST
 from ..lietensor.lietensor import LieTensor
 from ..lietensor.utils import SE3
 from .strategy import TrustRegion
-from ..ops.smallinv import inv3x3, inv6x6
+from ..ops.smallinv import inv3x3, inv6x6, chol3x3
 
 
 def reproj_residual_bal(pose, point, camera, pixel):
@@ -55,12 +55,17 @@ class BundleAdjustment:
     r"""Schur-complement Levenberg-Marquardt for bundle adjustment.
 
     The point blocks are eliminated analytically (3x3 adjugate inverses,
-    ops/smallinv.py) and CG runs on the reduced camera system; every LM
-    step — residuals, per-observation 2x6/2x3 Jacobians, Schur reduction,
-    PCG, retraction, reject loop — is one jitted XLA program, matching
-    the capability of the reference's external CUDA ``bae`` backend
-    (pypose/optim/optimizer.py:428-432) on TPU.  Runs trafalgar scale
-    (257 cams / 65k pts / 226k obs) at ~300 ms/LM-step on one v5e chip.
+    ops/smallinv.py).  The reduced camera system is solved EXACTLY when
+    the camera count permits (``schur='auto'``): S = Hcc - Hcp Hpp^-1 Hpc
+    is formed as one scatter-free Gram matmul on the MXU (bf16 single
+    pass + iterative refinement against the exact operator) and
+    Cholesky-factored — measured 85 ms/LM-step at trafalgar scale
+    (257 cams / 65k pts / 226k obs) on one v5e chip, 3.6x the matvec-CG
+    fallback that larger camera counts use.  Every LM step — residuals,
+    per-observation 2x6/2x3 Jacobians, Schur reduction, solve,
+    retraction, reject loop — is one jitted XLA program, matching the
+    capability of the reference's external CUDA ``bae`` backend
+    (pypose/optim/optimizer.py:428-432) on TPU.
 
     Args:
         poses: SE3 [C] camera poses (world -> camera).
@@ -90,7 +95,8 @@ class BundleAdjustment:
     def __init__(self, poses, points, cam_idx, pt_idx, pixels, cameras,
                  residual=None, strategy=None, reject=16, min=1e-6,
                  max=1e32, cg_iter=50, cg_tol=1e-5, fix_first_pose=False,
-                 kernel=None):
+                 kernel=None, schur='auto', schur_precision=None,
+                 schur_refine=2):
         self.poses, self.points = poses, jnp.asarray(points)
         self.cam_idx = jnp.asarray(cam_idx, jnp.int32)
         self.pt_idx = jnp.asarray(pt_idx, jnp.int32)
@@ -106,6 +112,14 @@ class BundleAdjustment:
         self.reject = reject
         self.cg_iter, self.cg_tol = cg_iter, cg_tol
         self.fix_first_pose = fix_first_pose
+        self.schur = schur
+        # the Gram matmul forming S runs in fast single-pass bf16 (2e-3
+        # rel err on TPU); `schur_refine` iterative-refinement steps with
+        # the EXACT matvec restore f32-quality solutions at ~6 ms each —
+        # far cheaper than a HIGHEST-precision Gram (+110 ms measured)
+        self.schur_precision = jax.lax.Precision.DEFAULT \
+            if schur_precision is None else schur_precision
+        self.schur_refine = schur_refine
         # optional bool [O] mask: invalid observations contribute zero chi2
         # (their residual/Jacobian must already vanish, e.g. zero-focal
         # padding in the sharded path)
@@ -118,6 +132,32 @@ class BundleAdjustment:
         self.reject_count = 0
         self._step_fn = None
         self._build_point_incidence()
+        self._pick_schur_mode()
+
+    # dense-Schur memory budget for the [P, 18, C] Gram operand (bytes)
+    DENSE_SCHUR_BYTES = 5e9
+    DENSE_SCHUR_MAX_C = 1024
+
+    def _pick_schur_mode(self):
+        """Dense reduced-camera-system path: form S = Hcc - Hcp Hpp^-1 Hpc
+        explicitly as one Gram matmul and Cholesky-solve it exactly.
+        Beats matvec-CG whenever C is small enough that S fits (trafalgar:
+        41 ms formation + 7 ms solve vs 40 CG iters x 4.5 ms); 'auto'
+        gates on C and the Gram-operand footprint and falls back to CG."""
+        if self.schur == 'cg':
+            self._use_dense_schur = False
+            return
+        ok = self._pt_inc is not None and self.C <= self.DENSE_SCHUR_MAX_C
+        if ok:
+            D = self._pt_inc[0].shape[1]
+            # ohp [P,D,C] + T1 [P,3,6,C] f32, lane-padded C -> mult of 128
+            cpad = -(-self.C // 128) * 128
+            ok = self.P * (D + 18) * cpad * 4 < self.DENSE_SCHUR_BYTES
+        if self.schur == 'dense' and not ok:
+            raise ValueError('dense Schur requested but problem exceeds '
+                             'the dense-S budget (C=%d, P=%d)' %
+                             (self.C, self.P))
+        self._use_dense_schur = ok
 
     MAX_POINT_DEGREE = 64
     MAX_CAM_DEGREE = 8192
@@ -247,6 +287,16 @@ class BundleAdjustment:
                                           precision=_HI))
         last = self._chi2(poses_data, points)
 
+        if self._use_dense_schur:
+            # damping-invariant pieces of the dense reduced camera system,
+            # hoisted out of the reject loop: per-observation camera-point
+            # coupling blocks gathered per point, and the camera one-hot
+            G = jnp.einsum('oda,odk->oak', Jc, Jp, precision=_HI)  # [O,6,3]
+            inc, incm = self._pt_inc
+            Gp = G[inc] * incm[..., None, None]                    # [P,D,6,3]
+            ohp = jax.nn.one_hot(ci[inc], C, dtype=Jc.dtype) \
+                * incm[..., None]                                  # [P,D,C]
+
         def damped(H, damping):
             d = jnp.clip(jnp.diagonal(H, axis1=-2, axis2=-1),
                          self.min, self.max) * (1.0 + damping)
@@ -278,6 +328,46 @@ class BundleAdjustment:
                 hx = hx - self._acc_cams(
                     jnp.einsum('oda,od->oa', Jc, JpW, precision=_HI))
                 return self._mask_cam(hx)
+
+            if self._use_dense_schur:
+                # S = Hcc_d - (L^T Hpc)^T (L^T Hpc) with Hpp_inv = L L^T,
+                # formed as one Gram matmul on the MXU; exact Cholesky
+                # solve replaces the CG loop entirely.  Layout note: every
+                # intermediate keeps C as the minor dim — trailing dims of
+                # 3/6 get lane-padded 128x on TPU (measured 34 GB blowup
+                # for the scatter form of Z).
+                L = chol3x3(Hpp_inv)                               # [P,3,3]
+                Yl = jnp.einsum('pkj,pdak->pdja', L, Gp,
+                                precision=_HI)                     # [P,D,3,6]
+                T1 = jnp.einsum('pdc,pdka->pkac', ohp, Yl,
+                                precision=_HI)                     # [P,3,6,C]
+                M6 = jax.lax.dot_general(
+                    T1, T1, (((0, 1), (0, 1)), ((), ())),
+                    precision=self.schur_precision)                # [6,C,6,C]
+                Mfull = jnp.transpose(M6, (1, 0, 3, 2)).reshape(C * 6, C * 6)
+                Sd = jnp.zeros((C, 6, C, 6), Hcc_d.dtype).at[
+                    jnp.arange(C), :, jnp.arange(C), :].set(Hcc_d)
+                S = Sd.reshape(C * 6, C * 6) - Mfull
+                if self.fix_first_pose:
+                    # gauge: remove camera 0's unknowns (identity rows)
+                    S = S.at[:6, :].set(0.0).at[:, :6].set(0.0)
+                    S = S.at[jnp.arange(6), jnp.arange(6)].set(1.0)
+                import jax.scipy.linalg as jsl
+                cf = jsl.cho_factor(S)
+                dc = jsl.cho_solve(cf, bs.reshape(-1)).reshape(C, 6)
+                # iterative refinement against the EXACT operator recovers
+                # f32 accuracy from the bf16-formed S at ~6 ms/pass
+                for _ in range(self.schur_refine):
+                    resid = bs - Svp(dc)
+                    dc = dc + jsl.cho_solve(
+                        cf, resid.reshape(-1)).reshape(C, 6)
+                dc = self._mask_cam(dc)
+                Jcdc = jnp.einsum('oda,oa->od', Jc, dc[ci], precision=_HI)
+                Hpcdc = self._acc_points(jnp.einsum(
+                    'oda,od->oa', Jp, Jcdc, precision=_HI))
+                dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc,
+                                precision=_HI)
+                return dc, dp
 
             Minv = inv6x6(Hcc_d)
 
