@@ -223,7 +223,10 @@ class BundleAdjustment:
     # ------------------------------------------------------------------
     def _r_jac(self, poses_data, points):
         """Residuals + per-observation tangent Jacobians Jc [O,2,6],
-        Jp [O,2,3]."""
+        Jp [O,2,3] via vmapped jacrev.  (A closed-form chain-rule version
+        was measured SLOWER on TPU — 14.8 vs 10.5 ms at 226k obs: XLA's
+        fused AD graph beats hand-written small einsums + skew scatters;
+        same lesson as the SoA Pallas kernels, CLAUDE.md.)"""
         Tc = poses_data[self.cam_idx]
         Xp = points[self.pt_idx]
 
@@ -265,6 +268,14 @@ class BundleAdjustment:
     # ------------------------------------------------------------------
     def _core(self, poses_data, points, strat_state):
         r, Jc, Jp = self._r_jac(poses_data, points)
+        # current chi2 from the residuals already in hand (saves a full
+        # re-projection pass; _chi2 is only needed for candidate params)
+        chi_raw = jnp.sum(r * r, -1)
+        if self.kernel is not None:
+            chi_raw = self.kernel(chi_raw)
+        if self.obs_valid is not None:
+            chi_raw = jnp.where(self.obs_valid, chi_raw, 0.0)
+        last = jnp.sum(chi_raw)
         s = self._robust_scale(r)
         r = s * r
         Jc = s[..., None] * Jc
@@ -285,7 +296,6 @@ class BundleAdjustment:
                                         precision=_HI))
         Hpp = self._acc_points(jnp.einsum('oda,odb->oab', Jp, Jp,
                                           precision=_HI))
-        last = self._chi2(poses_data, points)
 
         if self._use_dense_schur:
             # damping-invariant pieces of the dense reduced camera system,
