@@ -146,6 +146,15 @@ def stencil_cg(b, Ablk, dcorr, Minv, C, offsets, fixed_mask=None,
     """
     N, t = b.shape
     n_off = C.shape[0]
+    # VMEM budget gate: the kernel keeps operands (b, A, Minv, C) plus
+    # ~5 CG state vectors and matvec temporaries resident in VMEM.
+    # Scoped VMEM is 16 MB on v5e; past ~10 MB estimated footprint the
+    # compile fails ("scoped vmem limit exceeded"), so fall back to the
+    # same CG in plain XLA (HBM-resident, still stencil-form matvec).
+    est_bytes = 4 * N * (t + 2 * t * t + n_off * t * t      # operands
+                         + 5 * t + 2 * t)                   # state + temps
+    if est_bytes > 10 * 2 ** 20:
+        use_pallas = False
     if fixed_mask is not None:
         m = (~jnp.asarray(fixed_mask)).astype(b.dtype)
         b = b * m[:, None]
