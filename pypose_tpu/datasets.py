@@ -323,3 +323,131 @@ def synthetic_sphere(n_poses=2500, radius=25.0, loops_per_pose=0.8,
     else:
         infos = jnp.broadcast_to(jnp.eye(6, dtype=dtype), (E, 6, 6))
     return dict(nodes=nodes, edges=edges, poses=Z, infos=infos, gt=gt)
+
+
+# ---------------------------------------------------------------------------
+# KITTI raw IMU (oxts).  Workload parity:
+# /root/reference/examples/module/imu/imu_dataset.py:10-80 (KITTI_IMU via
+# pykitti).  Self-contained parser — no pykitti dependency: reads
+# oxts/timestamps.txt + oxts/data/*.txt (30-field packets) and derives the
+# same quantities the reference dataset exposes (dt, gyro, acc, ground-
+# truth rotation/velocity/position via the Mercator projection pykitti
+# uses).
+# ---------------------------------------------------------------------------
+
+_OXTS_FIELDS = ('lat lon alt roll pitch yaw vn ve vf vl vu ax ay az af al '
+                'au wx wy wz wf wl wu pos_accuracy vel_accuracy navstat '
+                'numsats posmode velmode orimode').split()
+
+
+def _parse_kitti_timestamps(path):
+    """timestamps.txt: 'YYYY-MM-DD HH:MM:SS.nnnnnnnnn' per line -> seconds
+    (float64, relative epoch is irrelevant — only dt is consumed)."""
+    from datetime import datetime, timezone
+    out = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            base, frac = line.rsplit('.', 1)
+            t = datetime.strptime(base, '%Y-%m-%d %H:%M:%S').replace(
+                tzinfo=timezone.utc)
+            out.append(t.timestamp() + float('0.' + frac))
+    return np.asarray(out, np.float64)
+
+
+def load_kitti_imu(root, dtype=jnp.float32):
+    """Load a KITTI raw drive's oxts stream for IMU preintegration.
+
+    Args:
+        root: directory containing ``oxts/timestamps.txt`` and
+            ``oxts/data/NNNNNNNNNN.txt`` (a pykitti-style extracted
+            drive, e.g. ``.../2011_09_26/2011_09_26_drive_0005_sync``).
+
+    Returns a dict with the same quantities the reference's KITTI_IMU
+    dataset exposes (imu_dataset.py:23-43): ``dt [F, 1]``, ``gyro
+    [F, 3]``, ``acc [F, 3]`` (body frame), ``gt_rot`` SO3 ``[F]``,
+    ``gt_vel [F, 3]`` (world frame), ``gt_pos [F, 3]`` (Mercator-
+    projected, first frame at origin), for F = frames - 1.
+    """
+    import os
+    oxts = os.path.join(root, 'oxts')
+    stamps = _parse_kitti_timestamps(os.path.join(oxts, 'timestamps.txt'))
+    ddir = os.path.join(oxts, 'data')
+    files = sorted(os.listdir(ddir))
+    pk = np.stack([np.loadtxt(os.path.join(ddir, f)) for f in files])
+    assert pk.shape[0] == stamps.shape[0], 'timestamps/data length mismatch'
+    F = pk.shape[0] - 1
+    idx = {k: i for i, k in enumerate(_OXTS_FIELDS)}
+
+    dt = (stamps[1:] - stamps[:-1])[:, None]
+    gyro = pk[:F, [idx['wx'], idx['wy'], idx['wz']]]
+    acc = pk[:F, [idx['ax'], idx['ay'], idx['az']]]
+    rpy = pk[:F, [idx['roll'], idx['pitch'], idx['yaw']]]
+    from .lietensor.convert import euler2SO3
+    gt_rot = euler2SO3(jnp.asarray(rpy, dtype))
+    vbody = pk[:F, [idx['vf'], idx['vl'], idx['vu']]]
+    gt_vel = gt_rot @ jnp.asarray(vbody, dtype)
+
+    # Mercator projection at the first frame's latitude (pykitti's
+    # convention), shifted so frame 0 sits at the origin
+    er = 6378137.0
+    lat, lon = pk[:, idx['lat']], pk[:, idx['lon']]
+    scale = np.cos(lat[0] * np.pi / 180.0)
+    px = scale * lon * np.pi * er / 180.0
+    py = scale * er * np.log(np.tan((90.0 + lat) * np.pi / 360.0))
+    pz = pk[:, idx['alt']]
+    pos = np.stack([px, py, pz], -1)
+    pos = pos - pos[0]
+
+    return {'dt': jnp.asarray(dt, dtype),
+            'gyro': jnp.asarray(gyro, dtype),
+            'acc': jnp.asarray(acc, dtype),
+            'gt_rot': gt_rot,
+            'gt_vel': jnp.asarray(gt_vel, dtype),
+            'gt_pos': jnp.asarray(pos[:F], dtype)}
+
+
+def save_kitti_oxts(root, stamps, packets):
+    """Write a KITTI-raw-format oxts directory (timestamps.txt +
+    data/NNNNNNNNNN.txt) — the test/round-trip counterpart of
+    :func:`load_kitti_imu`, like save_g2o/save_bal for the other
+    loaders.  ``packets`` is [F, 30] in oxts field order."""
+    import os
+    from datetime import datetime, timezone
+    ddir = os.path.join(root, 'oxts', 'data')
+    os.makedirs(ddir, exist_ok=True)
+    packets = np.asarray(packets, np.float64)
+    with open(os.path.join(root, 'oxts', 'timestamps.txt'), 'w') as f:
+        for t in np.asarray(stamps, np.float64):
+            whole = datetime.fromtimestamp(float(np.floor(t)),
+                                           tz=timezone.utc)
+            frac = float(t) - np.floor(t)
+            f.write(whole.strftime('%Y-%m-%d %H:%M:%S')
+                    + ('.%09d' % round(frac * 1e9)) + '\n')
+    for i, row in enumerate(packets):
+        np.savetxt(os.path.join(ddir, '%010d.txt' % i), row[None],
+                   fmt='%.12g')
+
+
+def kitti_imu_windows(data, duration=10, step=1):
+    """Slice a loaded KITTI IMU stream into fixed-length training windows
+    (dt/gyro/acc plus init/gt states), mirroring the reference dataset's
+    __getitem__ (imu_dataset.py:59-73).  Returns a list of dicts."""
+    F = data['dt'].shape[0]
+    out = []
+    for s in range(0, F - duration, step):
+        e = s + duration
+        out.append({
+            'dt': data['dt'][s:e],
+            'gyro': data['gyro'][s:e],
+            'acc': data['acc'][s:e],
+            'gt_pos': data['gt_pos'][s + 1:e + 1],
+            'gt_rot': data['gt_rot'][s + 1:e + 1],
+            'gt_vel': data['gt_vel'][s + 1:e + 1],
+            'init_pos': data['gt_pos'][s][None],
+            'init_rot': data['gt_rot'][s:e],
+            'init_vel': data['gt_vel'][s][None],
+        })
+    return out

@@ -140,16 +140,21 @@ def test_graft_entry_dryrun():
 
 
 @requires_8
-def test_sharded_ba_matches_single_device():
+@pytest.mark.parametrize('schur,rtol', [('cg', 5e-3), ('dense', 2e-2)])
+def test_sharded_ba_matches_single_device(schur, rtol):
     """ShardedBA(mesh=8) trajectory == BundleAdjustment trajectory —
     full LM semantics (TrustRegion + reject loop + Huber) under GSPMD,
-    including the zero-focal observation padding."""
+    including the zero-focal observation padding.  Both Schur solvers are
+    compared like-for-like; the dense path gets a looser tolerance — the
+    sharded Gram matmul's psum partials reorder summation, and early
+    steps sit at the reject boundary where TrustRegion dynamics amplify
+    last-bit differences."""
     from pypose_tpu.optim.ba import BundleAdjustment
     ds = synthetic_bal(n_cams=6, n_points=60, obs_per_point=3, seed=9)
     assert ds['pixels'].shape[0] % 8 != 0 or True
     mesh = make_mesh(8)
     kw = dict(cg_iter=20, cg_tol=1e-6, fix_first_pose=True,
-              kernel=Huber(delta=10.0))
+              kernel=Huber(delta=10.0), schur=schur)
     sharded = ShardedBA(ds['poses'], ds['points'], ds['cam_idx'],
                         ds['pt_idx'], ds['pixels'], ds['cameras'],
                         mesh=mesh, **kw)
@@ -158,7 +163,7 @@ def test_sharded_ba_matches_single_device():
                               **kw)
     traj_s = [sharded.step() for _ in range(3)]
     traj_r = [single.step() for _ in range(3)]
-    np.testing.assert_allclose(traj_s, traj_r, rtol=5e-3)
+    np.testing.assert_allclose(traj_s, traj_r, rtol=rtol)
     assert traj_s[-1] < traj_s[0]
 
 
