@@ -110,3 +110,49 @@ def test_ba_optimize_plateau_stops_early():
                           fix_first_pose=True, cg_iter=30)
     ba.optimize(steps=30, patience=2, decreasing=1e-3)
     assert len(ba.history) < 30
+
+
+def test_ba_dense_schur_matches_cg():
+    """The exact dense reduced-camera-system solve (Gram matmul +
+    Cholesky + iterative refinement) and the matvec-CG fallback must
+    produce the same optimization trajectory (tight CG budget)."""
+    ds = synthetic_bal(n_cams=8, n_points=300, obs_per_point=4, seed=1)
+
+    def mk(schur):
+        return BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                                ds['pt_idx'], ds['pixels'], ds['cameras'],
+                                fix_first_pose=True, cg_iter=200,
+                                cg_tol=1e-10, schur=schur)
+    bd, bc = mk('dense'), mk('cg')
+    assert bd._use_dense_schur and not bc._use_dense_schur
+    ld = bd.optimize(steps=6, patience=6, decreasing=1e-6)
+    lc = bc.optimize(steps=6, patience=6, decreasing=1e-6)
+    np.testing.assert_allclose(ld, lc, rtol=1e-3)
+    # poses agree up to the flat directions at the noise floor (chi2 is
+    # the meaningful invariant; 1e-2 bounds the solver-choice wiggle)
+    err = (bd.poses.Inv() @ bc.poses).Log().tensor()
+    assert float(jnp.abs(err).max()) < 1e-2
+
+
+def test_ba_dense_schur_gate():
+    """'auto' falls back to CG past the camera/memory budget; 'dense'
+    raises when infeasible."""
+    ds = synthetic_bal(n_cams=6, n_points=40, obs_per_point=3, seed=0)
+    ba = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                          ds['pt_idx'], ds['pixels'], ds['cameras'])
+    assert ba._use_dense_schur            # tiny problem: dense
+    old = BundleAdjustment.DENSE_SCHUR_MAX_C
+    try:
+        BundleAdjustment.DENSE_SCHUR_MAX_C = 2
+        ba2 = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                               ds['pt_idx'], ds['pixels'], ds['cameras'])
+        assert not ba2._use_dense_schur   # auto: silently falls back
+        try:
+            BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                             ds['pt_idx'], ds['pixels'], ds['cameras'],
+                             schur='dense')
+            assert False, 'expected ValueError'
+        except ValueError:
+            pass
+    finally:
+        BundleAdjustment.DENSE_SCHUR_MAX_C = old
