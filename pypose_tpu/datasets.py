@@ -277,6 +277,24 @@ def synthetic_sphere(n_poses=2500, radius=25.0, loops_per_pose=0.8,
     inverse covariance ``diag(1/sigma_t^2 x3, 1/sigma_r^2 x3)``, the
     weighting real g2o benchmark graphs carry (e.g. sphere2500's
     EDGE_SE3:QUAT information matrices).
+
+    Example:
+        >>> from pypose_tpu.datasets import synthetic_sphere
+        >>> ds = synthetic_sphere(100)
+        >>> ds['nodes'].lshape, ds['edges'].shape[1]
+        ((100,), 2)
+
+        Round-trip through the on-disk g2o format (the path every real
+        benchmark graph takes):
+
+        >>> import tempfile, os, jax.numpy as jnp
+        >>> from pypose_tpu.datasets import save_g2o, load_g2o
+        >>> p = os.path.join(tempfile.gettempdir(), 'doc_s100.g2o')
+        >>> save_g2o(p, ds['nodes'], ds['edges'], ds['poses'], ds['infos'])
+        >>> back = load_g2o(p)
+        >>> bool(jnp.allclose(back['poses'].tensor(),
+        ...                   ds['poses'].tensor(), atol=1e-6))
+        True
     """
     n = n_poses
     idx = np.arange(n)

@@ -36,6 +36,7 @@ import pypose_tpu.module.icp
 import pypose_tpu.module.pnp
 import pypose_tpu.module.loss
 import pypose_tpu.module.imu_preintegrator
+import pypose_tpu.datasets
 
 MODULES = [
     pypose_tpu.lietensor.utils,
@@ -63,6 +64,7 @@ MODULES = [
     pypose_tpu.module.pnp,
     pypose_tpu.module.loss,
     pypose_tpu.module.imu_preintegrator,
+    pypose_tpu.datasets,
 ]
 
 
