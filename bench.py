@@ -18,7 +18,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def microbench_lieops(batch=100_000, iters=20):
+def microbench_lieops(batch=100_000, iters=50):
     import pypose_tpu as pp
     from pypose_tpu.lietensor.jacobian import se3_Jl
 
@@ -26,27 +26,58 @@ def microbench_lieops(batch=100_000, iters=20):
     X = x.Exp()
     p = jax.random.normal(jax.random.PRNGKey(1), (batch, 3))
 
+    # the whole repetition loop runs ON DEVICE (fori_loop with a data
+    # dependency between iterations) so the measurement is device
+    # throughput, not per-dispatch tunnel latency (~20 ms jitter/call)
+    @jax.jit
+    def fused_loop(xd, Xd, p):
+        def body(_, carry):
+            xd, Xd, p = carry
+            xl = pp.se3(xd)
+            Xl = pp.SE3(Xd)
+            y = xl.Exp()            # Exp
+            z = Xl.Log()            # Log
+            J = se3_Jl(z.tensor())  # analytic 6x6 left Jacobian
+            q = y.Act(p)            # action
+            # thread outputs back in (prevents loop-invariant hoisting)
+            return (z.tensor() + J[..., 0, 0:6] * 1e-20,
+                    y.tensor(), p + q * 1e-20)
+        return jax.lax.fori_loop(0, iters, body, (xd, Xd, p))
+
+    args = (x.tensor(), X.tensor(), p)
+    out = fused_loop(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fused_loop(*args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    ops_per_sec = batch / dt
+    log(f'[micro] SE3 Exp+Log+Jl+Act chained x{iters} on device: '
+        f'{dt*1e3:.4f} ms/iter = {ops_per_sec:.3e} group-elem/s '
+        f'(carry stays VMEM-resident — the fused-chain regime)')
+
+    # HBM-resident single-shot (dispatch-loop) variant: each call reads
+    # inputs from and writes outputs to HBM — the roofline regime.
     @jax.jit
     def fused(xd, Xd, p):
         xl = pp.se3(xd)
         Xl = pp.SE3(Xd)
-        y = xl.Exp()            # Exp
-        z = Xl.Log()            # Log
-        J = se3_Jl(z.tensor())  # analytic 6x6 left Jacobian
-        q = y.Act(p)            # action
+        y = xl.Exp()
+        z = Xl.Log()
+        J = se3_Jl(z.tensor())
+        q = y.Act(p)
         return y.tensor(), z.tensor(), J, q
 
-    args = (x.tensor(), X.tensor(), p)
     out = fused(*args)
     jax.block_until_ready(out)
+    n = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(n):
         out = fused(*args)
     jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    ops_per_sec = batch / dt
-    log(f'[micro] SE3 Exp+Log+Jl+Act fused @ {batch}: '
-        f'{dt*1e3:.3f} ms/iter = {ops_per_sec:.3e} group-elem/s')
+    dt_h = (time.perf_counter() - t0) / n
+    log(f'[micro] SE3 Exp+Log+Jl+Act single-shot (HBM-resident): '
+        f'{dt_h*1e3:.3f} ms/iter = {batch/dt_h:.3e} group-elem/s')
 
     # jacobian of Act w.r.t. pose tangent via vmapped jacrev
     @jax.jit
@@ -56,14 +87,15 @@ def microbench_lieops(batch=100_000, iters=20):
 
     J = jac(X.tensor(), p)
     jax.block_until_ready(J)
+    n = 20
     t0 = time.perf_counter()
-    for _ in range(iters):
+    for _ in range(n):
         J = jac(X.tensor(), p)
     jax.block_until_ready(J)
-    dtj = (time.perf_counter() - t0) / iters
+    dtj = (time.perf_counter() - t0) / n
     log(f'[micro] vmapped jacrev(Act) @ {batch}: {dtj*1e3:.3f} ms/iter '
         f'= {batch/dtj:.3e} jac/s')
-    return ops_per_sec
+    return batch / dt_h
 
 
 def _sphere2500_problem():
