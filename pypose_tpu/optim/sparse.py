@@ -767,12 +767,18 @@ class SparseLM:
 
 
 def pgo_factor(edges, poses, infos=None, kernel=None, name='poses'):
-    r"""Relative-pose factor for pose-graph optimization.
+    r"""Relative-pose factor for pose-graph optimization — any group type
+    whose storage supports ``Inv/@/Log`` (SE3 for classical PGO; Sim3 for
+    scale-drift graphs, a capability the reference's SE3-only pgo example
+    does not reach).
 
     Residual per edge (i, j): ``Log(Z^{-1} (X_i^{-1} X_j))`` with optional
-    6x6 information-matrix weights.  Workload parity:
-    examples/module/pgo/pgo.py:25-43.
+    tangent-dim information-matrix weights.  SE3 measurements get the
+    closed-form tangent Jacobian; other group types fall back to the
+    vmapped ``jacrev`` of the residual (Factor's default).  Workload
+    parity: examples/module/pgo/pgo.py:25-43.
     """
+    from ..lietensor.lietensor import SE3_type
 
     def residual(values, Z):
         Xi, Xj = values[name][0], values[name][1]
@@ -791,8 +797,9 @@ def pgo_factor(edges, poses, infos=None, kernel=None, name='poses'):
         J = jnp.stack([-Jj, Jj], axis=1)          # [d, arity=2, tan]
         return r, {name: J}
 
+    jac = jacobian if poses.ltype is SE3_type else None
     return Factor(residual, indices={name: edges}, consts=poses,
-                  weight=infos, kernel=kernel, jacobian=jacobian)
+                  weight=infos, kernel=kernel, jacobian=jac)
 
 
 def split_chain_edges(edges, min_run=64):

@@ -213,3 +213,32 @@ def test_sim3_pose_graph():
     assert loss < 1e-6
     err = (opt.params['poses'].Inv() @ gt).Log().tensor()
     assert float(jnp.abs(err).mean()) < 1e-3
+
+
+def test_sim3_pose_graph():
+    """Sim3 pose-graph optimization (scale-drift SLAM): pgo_factor is
+    group-generic — non-SE3 types take the jacrev fallback — and the
+    whole SparseLM stack (tangent dim 7, retraction, CG) follows the
+    ltype.  Capability beyond the reference's SE3-only pgo example."""
+    import pypose_tpu as pp
+    N = 40
+    truth = pp.randn_Sim3(N, sigma=(0.3, 0.2, 0.1),
+                          key=jax.random.PRNGKey(0))
+    ii = jnp.arange(N - 1)
+    edges = jnp.concatenate([jnp.stack([ii, ii + 1], 1),
+                             jnp.array([[N - 1, 0], [N // 2, 0]])], 0)
+    Z = truth[edges[:, 0]].Inv() @ truth[edges[:, 1]]
+    noisy = truth @ pp.randn_Sim3(N, sigma=(0.1, 0.05, 0.05),
+                                  key=jax.random.PRNGKey(1))
+    opt = SparseLM({'poses': noisy}, [pgo_factor(edges, Z)],
+                   strategy=TrustRegion(radius=1e4),
+                   fixed={'poses': jnp.zeros(N, bool).at[0].set(True)},
+                   cg_iter=200, cg_tol=1e-10)
+    final = opt.optimize(steps=12, decreasing=1e-10, patience=3)
+    assert final < opt.history[0] * 1e-6
+    # the residual is invariant under a global LEFT transform; the fixed
+    # node pins it, so X == G @ truth with G = X_0 truth_0^-1
+    X = opt.params['poses']
+    G = X[0] @ truth[0].Inv()
+    err = ((G.Inv() @ X).Inv() @ truth).Log().tensor()
+    assert float(jnp.abs(err).max()) < 1e-3
