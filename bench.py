@@ -426,5 +426,57 @@ def main():
     }), flush=True)
 
 
-if __name__ == '__main__':
+def _watchdog_main():
+    """Self-watchdog: the remote-TPU tunnel intermittently wedges the
+    process (futex wait, no CPU, no output — at backend init OR mid-run
+    between sections; a killed retry always succeeds, CLAUDE.md).  Run
+    the real bench in a child and restart it whenever it goes silent for
+    WEDGE_S seconds (every bench section logs within ~60 s — the longest
+    single remote compile — so 300 s of silence is a wedge, not work)."""
+    import os
+    import subprocess
+    import threading
+
+    WEDGE_S = 300.0
+    for attempt in range(3):
+        env = dict(os.environ, PPT_BENCH_CHILD='1')
+        proc = subprocess.Popen([sys.executable, '-u', __file__],
+                                stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, env=env)
+        state = {'last': time.monotonic()}
+
+        def pump(src, dst):
+            for line in iter(src.readline, b''):
+                state['last'] = time.monotonic()
+                dst.buffer.write(line)
+                dst.flush()
+
+        t_err = threading.Thread(target=pump, args=(proc.stderr, sys.stderr),
+                                 daemon=True)
+        t_out = threading.Thread(target=pump, args=(proc.stdout, sys.stdout),
+                                 daemon=True)
+        t_err.start()
+        t_out.start()
+        while proc.poll() is None:
+            time.sleep(5.0)
+            if time.monotonic() - state['last'] > WEDGE_S:
+                log(f'[watchdog] no output for {WEDGE_S:.0f}s '
+                    f'(attempt {attempt + 1}) — tunnel wedge, restarting')
+                proc.kill()
+                proc.wait()
+                break
+        else:
+            t_err.join(timeout=10)
+            t_out.join(timeout=10)
+            sys.exit(proc.returncode)
+        time.sleep(3.0)
+    log('[watchdog] giving up after 3 wedged attempts; running inline')
     main()
+
+
+if __name__ == '__main__':
+    import os
+    if os.environ.get('PPT_BENCH_CHILD'):
+        main()
+    else:
+        _watchdog_main()
