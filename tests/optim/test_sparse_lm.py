@@ -242,3 +242,27 @@ def test_sim3_pose_graph():
     G = X[0] @ truth[0].Inv()
     err = ((G.Inv() @ X).Inv() @ truth).Log().tensor()
     assert float(jnp.abs(err).max()) < 1e-3
+
+
+def test_so3_rotation_averaging():
+    """SO3 synchronization (rotation averaging) — the third group family
+    through the same generic pgo_factor/SparseLM machinery (tangent dim
+    3, jacrev fallback)."""
+    import pypose_tpu as pp
+    N = 50
+    truth = pp.randn_SO3(N, key=jax.random.PRNGKey(0))
+    ii = jnp.arange(N - 1)
+    edges = jnp.concatenate([jnp.stack([ii, ii + 1], 1),
+                             jnp.array([[N - 1, 0], [10, 30], [5, 45]])], 0)
+    Z = truth[edges[:, 0]].Inv() @ truth[edges[:, 1]]
+    noisy = truth @ pp.randn_SO3(N, sigma=0.1, key=jax.random.PRNGKey(1))
+    opt = SparseLM({'rot': noisy}, [pgo_factor(edges, Z, name='rot')],
+                   strategy=TrustRegion(radius=1e4),
+                   fixed={'rot': jnp.zeros(N, bool).at[0].set(True)},
+                   cg_iter=100, cg_tol=1e-10)
+    final = opt.optimize(steps=10, decreasing=1e-10, patience=3)
+    assert final < opt.history[0] * 1e-6
+    X = opt.params['rot']
+    G = X[0] @ truth[0].Inv()
+    err = ((G.Inv() @ X).Inv() @ truth).Log().tensor()
+    assert float(jnp.abs(err).max()) < 1e-3
