@@ -19,6 +19,7 @@ CASES = [
     ('icp_align.py', ['--points', '100']),
     ('pgo.py', ['--poses', '100', '--steps', '3']),
     ('imu_integration.py', ['--frames', '50']),
+    ('rotation_averaging.py', ['--nodes', '40', '--steps', '5']),
 ]
 
 
