@@ -773,31 +773,42 @@ def pgo_factor(edges, poses, infos=None, kernel=None, name='poses'):
     does not reach).
 
     Residual per edge (i, j): ``Log(Z^{-1} (X_i^{-1} X_j))`` with optional
-    tangent-dim information-matrix weights.  SE3 measurements get the
-    closed-form tangent Jacobian; other group types fall back to the
+    tangent-dim information-matrix weights.  All four group families get
+    the closed-form tangent Jacobian ``dr/d(delta_j) = Jl^-1(r) Adj(M)``
+    (exact — including Sim3, whose Jl is computed by scaling-and-squaring
+    where the reference truncates); unknown types fall back to the
     vmapped ``jacrev`` of the residual (Factor's default).  Workload
     parity: examples/module/pgo/pgo.py:25-43.
     """
-    from ..lietensor.lietensor import SE3_type
+    from ..lietensor import jacobian as _jac
+    from ..lietensor import operation as _op
+    from ..lietensor.lietensor import (SO3_type, SE3_type, RxSO3_type,
+                                       Sim3_type)
+
+    _FORMS = {SO3_type: (_jac.so3_Jl_inv, _op.SO3_Adj),
+              SE3_type: (_jac.se3_Jl_inv, _op.SE3_Adj),
+              RxSO3_type: (_jac.rxso3_Jl_inv, _op.RxSO3_Adj),
+              Sim3_type: (_jac.sim3_Jl_inv, _op.Sim3_Adj)}
 
     def residual(values, Z):
         Xi, Xj = values[name][0], values[name][1]
         return (Z.Inv() @ (Xi.Inv() @ Xj)).Log().tensor()
 
-    def jacobian(values, Z):
-        """Closed form: with M = Z^-1 Xi^-1 and r = Log(M Xj),
-        dr/d(delta_j) = Jl^-1(r) Adj(M) and dr/d(delta_i) = -dr/d(delta_j)
-        (left-perturbation convention)."""
-        from ..lietensor.jacobian import se3_Jl_inv
-        from ..lietensor.operation import SE3_Adj
-        Xi, Xj = values[name][0], values[name][1]
-        M = Z.Inv() @ Xi.Inv()
-        r = (M @ Xj).Log().tensor()
-        Jj = jnp.matmul(se3_Jl_inv(r), SE3_Adj(M.tensor()), precision=_HI)
-        J = jnp.stack([-Jj, Jj], axis=1)          # [d, arity=2, tan]
-        return r, {name: J}
+    def make_jacobian(Jl_inv, Adj):
+        def jacobian(values, Z):
+            """Closed form: with M = Z^-1 Xi^-1 and r = Log(M Xj),
+            dr/d(delta_j) = Jl^-1(r) Adj(M) and
+            dr/d(delta_i) = -dr/d(delta_j) (left-perturbation)."""
+            Xi, Xj = values[name][0], values[name][1]
+            M = Z.Inv() @ Xi.Inv()
+            r = (M @ Xj).Log().tensor()
+            Jj = jnp.matmul(Jl_inv(r), Adj(M.tensor()), precision=_HI)
+            J = jnp.stack([-Jj, Jj], axis=1)      # [d, arity=2, tan]
+            return r, {name: J}
+        return jacobian
 
-    jac = jacobian if poses.ltype is SE3_type else None
+    form = _FORMS.get(poses.ltype)
+    jac = make_jacobian(*form) if form is not None else None
     return Factor(residual, indices={name: edges}, consts=poses,
                   weight=infos, kernel=kernel, jacobian=jac)
 
