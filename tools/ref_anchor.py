@@ -43,6 +43,12 @@ def main():
     ap.add_argument('--f64', action='store_true',
                     help='run the reference in float64 (default float32, '
                          'the reference example default dtype)')
+    ap.add_argument('--weighted', action='store_true',
+                    help='use the natural information matrices as the LM '
+                         'weight (reference optimizer.py:80-95 block-diag '
+                         'path); records BOTH the unweighted loss the '
+                         'reference reports and the weighted chi2 '
+                         'r^T W r that pypose_tpu optimizes')
     ap.add_argument('--out', type=str, default=None)
     args = ap.parse_args()
 
@@ -57,13 +63,18 @@ def main():
 
     from pypose_tpu.datasets import synthetic_sphere
 
-    ds = synthetic_sphere(args.n)
+    ds = synthetic_sphere(args.n,
+                          info='natural' if args.weighted else 'identity')
     dtype = torch.float64 if args.f64 else torch.float32
     nodes = pp.SE3(torch.from_numpy(
         np.asarray(ds['nodes'].tensor(), np.float64)).to(dtype))
     poses = pp.SE3(torch.from_numpy(
         np.asarray(ds['poses'].tensor(), np.float64)).to(dtype))
     edges = torch.from_numpy(np.asarray(ds['edges'], np.int64))
+    weight = None
+    if args.weighted:
+        weight = torch.from_numpy(np.asarray(ds['infos'], np.float64)) \
+            .to(dtype)
 
     class PoseGraph(nn.Module):
         # reference example model, examples/module/pgo/pgo.py:16-26
@@ -85,35 +96,52 @@ def main():
                               patience=args.patience,
                               decreasing=args.decreasing, verbose=True)
 
+    def wchi2():
+        # weighted chi2 = sum_e r_e^T W_e r_e — the objective pypose_tpu's
+        # SparseLM(infos=...) reports; the reference's *reported* loss stays
+        # unweighted (RobustModel.loss, optimizer.py:118-125) even though
+        # the weight steers its normal equations
+        with torch.no_grad():
+            r = graph(edges, poses).view(-1, 6)
+            return float(torch.einsum('ei,eij,ej->', r, weight, r))
+
     with torch.no_grad():
         r0 = graph(edges, poses)
         chi2_0 = float(r0.square().sum())
-    print(f'[ref] n={args.n} E={edges.shape[0]} initial chi2 {chi2_0:.6e}',
+    wchi2_0 = wchi2() if args.weighted else None
+    print(f'[ref] n={args.n} E={edges.shape[0]} initial chi2 {chi2_0:.6e}'
+          + (f' weighted {wchi2_0:.6e}' if args.weighted else ''),
           flush=True)
 
-    history = []
+    history, whistory = [], []
     t0 = time.perf_counter()
     while scheduler.continual():
         ts = time.perf_counter()
-        loss = optimizer.step(input=(edges, poses))
+        loss = optimizer.step(input=(edges, poses), weight=weight)
         scheduler.step(loss)
         history.append(float(loss))
-        print(f'[ref] step {len(history)}: loss {float(loss):.6e} '
-              f'({time.perf_counter()-ts:.1f}s)', flush=True)
+        if args.weighted:
+            whistory.append(wchi2())
+        print(f'[ref] step {len(history)}: loss {float(loss):.6e}'
+              + (f' weighted {whistory[-1]:.6e}' if args.weighted else '')
+              + f' ({time.perf_counter()-ts:.1f}s)', flush=True)
     elapsed = time.perf_counter() - t0
 
+    suffix = '_weighted' if args.weighted else ''
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        'data', f'ref_anchor_sphere{args.n}.json')
+        'data', f'ref_anchor_sphere{args.n}{suffix}.json')
     os.makedirs(os.path.dirname(out), exist_ok=True)
     payload = {
-        'problem': f'synthetic_sphere({args.n}) seed=42 (pypose_tpu.datasets)',
+        'problem': f'synthetic_sphere({args.n}) seed=42 (pypose_tpu.datasets)'
+                   + (' info=natural, weight=infos' if args.weighted else ''),
         'n_poses': args.n,
         'n_edges': int(edges.shape[0]),
         'reference': 'pypose v0.9.5 LM+Cholesky+TrustRegion(1e4)+'
                      f'StopOnPlateau(steps={args.steps}, '
                      f'patience={args.patience}, '
-                     f'decreasing={args.decreasing})',
+                     f'decreasing={args.decreasing})'
+                     + (' weight=natural-infos' if args.weighted else ''),
         'dtype': 'float64' if args.f64 else 'float32',
         'device': 'cpu',
         'initial_chi2': chi2_0,
@@ -125,6 +153,13 @@ def main():
         'provenance': 'reference-computed (this file written by '
                       'tools/ref_anchor.py running /root/reference on CPU)',
     }
+    if args.weighted:
+        payload['initial_weighted_chi2'] = wchi2_0
+        payload['weighted_history'] = whistory
+        payload['final_weighted_chi2'] = whistory[-1] if whistory else None
+        payload['weighted_loss_definition'] = \
+            'sum_e r_e^T W_e r_e (the objective pypose_tpu SparseLM ' \
+            'with infos= reports)'
     with open(out, 'w') as f:
         json.dump(payload, f, indent=1)
     print(f'[ref] wrote {out}: final chi2 '
