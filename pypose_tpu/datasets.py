@@ -439,11 +439,14 @@ def save_kitti_oxts(root, stamps, packets):
     packets = np.asarray(packets, np.float64)
     with open(os.path.join(root, 'oxts', 'timestamps.txt'), 'w') as f:
         for t in np.asarray(stamps, np.float64):
-            whole = datetime.fromtimestamp(float(np.floor(t)),
-                                           tz=timezone.utc)
-            frac = float(t) - np.floor(t)
+            sec = float(np.floor(t))
+            ns = round((float(t) - sec) * 1e9)
+            if ns >= 1_000_000_000:  # carry: fraction within 0.5 ns of
+                sec += 1.0           # the next second must not widen the
+                ns = 0               # 9-digit field (parser reads 0.1 s)
+            whole = datetime.fromtimestamp(sec, tz=timezone.utc)
             f.write(whole.strftime('%Y-%m-%d %H:%M:%S')
-                    + ('.%09d' % round(frac * 1e9)) + '\n')
+                    + ('.%09d' % ns) + '\n')
     for i, row in enumerate(packets):
         np.savetxt(os.path.join(ddir, '%010d.txt' % i), row[None],
                    fmt='%.12g')

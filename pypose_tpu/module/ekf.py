@@ -55,7 +55,14 @@ class EKF(Module):
             C @ P @ jnp.swapaxes(C, -1, -2) + R)
         e = y - self.model.observation(x, u, t=t)
         xp = xm + bmv(K, e)
-        P = (I - K @ C) @ P
+        # Joseph-form update: algebraically equal to (I-KC)P for the
+        # optimal gain but preserves symmetry/PSD under f32 rounding.
+        # (The reference uses the short form, ekf.py:157-164 — values
+        # agree to float tolerance; parity pinned in
+        # tests/module/test_reference_parity_modules.py.)
+        IKC = I - K @ C
+        P = IKC @ P @ jnp.swapaxes(IKC, -1, -2) \
+            + K @ R @ jnp.swapaxes(K, -1, -2)
         return xp, P
 
     @property

@@ -75,6 +75,13 @@ class Scanner {
         p_ = end;
         return static_cast<int64_t>(v);
     }
+    // consume the remainder of the current line (comments / unknown
+    // records — real g2o files carry '# ...' comments and extra record
+    // types like FIX; skipping token-by-token would mis-parse a comment
+    // that itself contains a record keyword)
+    void skip_line() {
+        while (*p_ && *p_ != '\n') ++p_;
+    }
 
   private:
     std::vector<char> buf_;
@@ -111,9 +118,9 @@ int ppt_g2o_parse(const char* path, int64_t* n_vertices, int64_t* n_edges) {
             for (int i = 0; i < 21; ++i)
                 g->infos.push_back(sc.next_double());
         } else {
-            // skip the rest of this line
-            // (tokenizer is whitespace-based; unknown records are consumed
-            // token-by-token until a known keyword appears again)
+            // comment or unknown record type (FIX, VERTEX_SE2, ...):
+            // consume the rest of its line
+            sc.skip_line();
         }
     }
     delete g_g2o;

@@ -179,6 +179,12 @@ class SparseLM:
         self._stencil_all = None
         if matvec in ('auto', 'coupling'):
             self._build_spmv()
+            if matvec == 'coupling' and self._spmv is None:
+                raise ValueError(
+                    'matvec=\'coupling\' requires every factor to be an '
+                    'arity-2 factor over one shared [N, d] variable group '
+                    '(the PGO shape); this problem does not qualify — use '
+                    "matvec='auto' to fall back to the generic path")
         elif matvec != 'generic':
             raise ValueError(f'matvec must be auto|coupling|generic, '
                              f'got {matvec}')

@@ -57,8 +57,14 @@ def make_pgo_step(n_nodes, damping=1e-4, cg_iter=50, cg_tol=1e-6):
 
     All inputs are raw arrays (SE3 storage), so the function jits cleanly
     with edge-dim shardings; gathers/scatter-adds across edge shards lower
-    to XLA collectives.  This is the multi-chip training-step used by
-    the driver's dryrun and by ShardedPGO.
+    to XLA collectives.
+
+    NOTE: this is a RAW fixed-damping Gauss-Newton-ish step for sharding
+    microbenchmarks and HLO inspection only — no reject loop, no damping
+    strategy, no kernels/infos.  Full LM semantics on a mesh live in
+    :class:`ShardedPGO`/:class:`ShardedLM` (which subclass the single-chip
+    optimizers); the driver's dryrun uses ShardedPGO
+    (__graft_entry__.py), not this.
     """
 
     def residual(Xi, Xj, Z):
@@ -123,6 +129,10 @@ def make_ba_step(n_cams, n_points, damping=1e-4, cg_iter=30, cg_tol=1e-6):
     Observations (the dominant axis) shard over the mesh; the per-obs
     JᵀJ-block reductions lower to psums; the reduced camera system is tiny
     and solves replicated.
+
+    NOTE: like :func:`make_pgo_step`, a RAW fixed-damping step kept for
+    sharding microbenchmarks — full-semantics multi-chip BA is
+    :class:`ShardedBA`.
     """
     from ..optim.ba import reproj_residual_bal
     from ..ops.smallinv import inv3x3, inv6x6

@@ -14,3 +14,46 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+# Persistent XLA compilation cache: test wall-clock is dominated by CPU
+# compiles (~3.5 s/test cold on a 1-core box); warm gate runs hit the
+# cache instead.  Safe to delete .jax_test_cache/ any time.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), '.jax_test_cache')
+jax.config.update('jax_compilation_cache_dir', _CACHE)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+
+
+# ---------------------------------------------------------------------------
+# Two-tier suite: `pytest -m "not slow" -x -q` is the <2-minute gate run on
+# every change; the FULL suite (including these compile-heavy modules) is the
+# nightly/pre-round command `pytest tests/ -q`.  Slow = whole-loop optimize
+# programs (sparse LM / BA / sharded), side-by-side PyTorch reference-parity
+# runs, example subprocesses, and executed doctests.
+# ---------------------------------------------------------------------------
+
+SLOW_FILES = (
+    'test_sparse_lm.py',
+    'test_ba.py',
+    'test_sharding.py',
+    'test_examples_smoke.py',
+    'test_reference_parity.py',
+    'test_reference_parity_metric.py',
+    'test_reference_parity_modules.py',
+    'test_fuzz_parity.py',
+    'test_doctests.py',
+    'test_pallas_cg.py',
+    'test_anchor.py',
+    'test_pose_estimation.py',
+    'test_lqr_mpc.py',
+    'test_implicit.py',
+    'test_kitti_imu.py',
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if os.path.basename(str(item.fspath)) in SLOW_FILES:
+            item.add_marker(pytest.mark.slow)

@@ -188,8 +188,10 @@ def test_chain_preconditioner():
     assert loss_chain < 0.05 * 100  # converged sanity
 
 
-def test_sim3_pose_graph():
-    """SparseLM is group-generic: Sim3 pose graph (scale drift) converges."""
+def test_sim3_chain_jacrev_fallback():
+    """SparseLM is group-generic: a Sim3 chain graph through a raw
+    user-written ``Factor`` (no closed-form Jacobian attached — exercises
+    the jacrev fallback path) converges."""
     N = 30
     gt = pp.randn_Sim3(N, sigma=(0.6, 0.2, 0.1), key=jax.random.PRNGKey(21))
     ii = jnp.arange(N - 1)
@@ -217,9 +219,10 @@ def test_sim3_pose_graph():
 
 def test_sim3_pose_graph():
     """Sim3 pose-graph optimization (scale-drift SLAM): pgo_factor is
-    group-generic — non-SE3 types take the jacrev fallback — and the
-    whole SparseLM stack (tangent dim 7, retraction, CG) follows the
-    ltype.  Capability beyond the reference's SE3-only pgo example."""
+    group-generic — it attaches closed-form tangent Jacobians for all
+    four group families, Sim3 included — and the whole SparseLM stack
+    (tangent dim 7, retraction, CG) follows the ltype.  Capability
+    beyond the reference's SE3-only pgo example."""
     import pypose_tpu as pp
     N = 40
     truth = pp.randn_Sim3(N, sigma=(0.3, 0.2, 0.1),

@@ -20,6 +20,13 @@ CASES = [
     ('pgo.py', ['--poses', '100', '--steps', '3']),
     ('imu_integration.py', ['--frames', '50']),
     ('rotation_averaging.py', ['--nodes', '40', '--steps', '5']),
+    ('bundle_adjustment.py', ['--cams', '6', '--points', '80',
+                              '--steps', '4']),
+    ('mini_slam.py', ['--frames', '5', '--points', '40']),
+    ('mpc_cartpole.py', ['--horizon', '8', '--iters', '2']),
+    ('reproj_pgo.py', ['--poses', '8', '--landmarks', '30',
+                       '--steps', '3']),
+    ('imu_corrector.py', ['--iters', '10', '--frames', '20']),
 ]
 
 

@@ -128,3 +128,70 @@ def test_bal_roundtrip(tmp_path):
     # poses survive the SO3 Log -> Rodrigues -> Exp round trip
     d = (b['poses'].Inv() @ ds['poses']).Log().tensor()
     assert float(jnp.max(jnp.abs(d))) < 1e-5
+
+
+def _datafile(name):
+    from pypose_tpu.datasets import find_data
+    p = find_data(name)
+    if p is None:
+        pytest.skip(f'{name} not vendored')
+    return p
+
+
+def test_realformat_g2o_excerpt():
+    """Parse the vendored real-format g2o excerpt: comments (one containing
+    a record keyword), FIX records, unknown record types, non-contiguous
+    shuffled vertex ids, flipped-direction edges, scientific-notation corner
+    cases (tools/make_realformat_excerpt.py).  Both parsers must agree, and
+    the graph must be geometrically consistent (optimization reaches ~0)."""
+    path = _datafile('realformat_excerpt.g2o')
+    d1 = load_g2o(path)
+    assert d1['nodes'].lshape[0] == 12
+    assert d1['edges'].shape == (14, 2)
+    assert int(jnp.max(d1['edges'])) == 11       # ids remapped to rows
+    # infos are full SPD matrices, not identity
+    assert float(jnp.abs(d1['infos'][0, 0, 1])) > 0
+    if native.get_lib() is not None:
+        _force_python()
+        try:
+            d2 = load_g2o(path)
+        finally:
+            _restore()
+        np.testing.assert_allclose(np.asarray(d1['nodes'].tensor()),
+                                   np.asarray(d2['nodes'].tensor()),
+                                   atol=1e-12)
+        np.testing.assert_array_equal(np.asarray(d1['edges']),
+                                      np.asarray(d2['edges']))
+        np.testing.assert_allclose(np.asarray(d1['poses'].tensor()),
+                                   np.asarray(d2['poses'].tensor()),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(d1['infos']),
+                                   np.asarray(d2['infos']), rtol=1e-12)
+    # consistency: the excerpt's flipped edges carry inverted measurements,
+    # so weighted PGO must drive the residual to ~the measurement noise
+    from pypose_tpu.optim.sparse import pgo
+    nodes, hist = pgo(d1['nodes'], d1['edges'], d1['poses'],
+                      infos=d1['infos'], steps=8, cg_iter=100)
+    assert hist[-1] < hist[0] * 1e-2
+
+
+def test_realformat_bal_excerpt():
+    """Parse the vendored real-format BAL excerpt (exponent notation,
+    negative distortion coefficients)."""
+    path = _datafile('realformat_excerpt_bal.txt')
+    b1 = load_bal(path)
+    assert b1['poses'].lshape[0] == 3
+    assert b1['points'].shape == (20, 3)
+    assert b1['pixels'].shape[0] == 40
+    # f, k1, k2 parsed with signs/exponents intact
+    np.testing.assert_allclose(np.asarray(b1['cameras'][0]),
+                               [4.98e2, -3.1e-07, 5.2e-13], rtol=1e-6)
+    if native.get_lib() is not None:
+        _force_python()
+        try:
+            b2 = load_bal(path)
+        finally:
+            _restore()
+        for k in ('pixels', 'cameras', 'points'):
+            np.testing.assert_allclose(np.asarray(b1[k]), np.asarray(b2[k]),
+                                       rtol=1e-12)
