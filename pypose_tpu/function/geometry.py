@@ -99,12 +99,20 @@ def reprojerr(points, pixels, intrinsics, extrinsics=None, reduction='none'):
     return img_repj - pixels
 
 
-def knn(ref, nbr, k=1, ord=2, dim=-1, largest=False, sorted=True):
+def knn(ref, nbr, k=1, ord=2, dim=-1, largest=False, sorted=True,
+        chunk=None):
     """Brute-force k-nearest neighbors of each ``ref`` point within ``nbr``.
 
-    Returns ``KNNResult(values, indices)`` like ``torch.topk``; the
-    ``(R, N)`` distance matrix is formed densely (one fused XLA program;
-    fine to ~10k x 10k on a v5e).  Ref: pypose/function/geometry.py:228.
+    Returns ``KNNResult(values, indices)`` like ``torch.topk``.
+    Ref: pypose/function/geometry.py:228.
+
+    The small-problem path forms the ``(R, N)`` distance matrix densely
+    (one fused XLA program).  Above ~64M pairs (or when ``chunk`` is
+    given) a tiled path streams ``chunk`` ref rows at a time through a
+    ``lax.map``, computing L2 distances in the Gram form
+    ``|a|^2 + |b|^2 - 2 a.b`` — the cross term is an MXU matmul, and the
+    full distance matrix never materializes, so 100k x 100k clouds fit
+    on one chip (the dense form would need 40 GB).
 
     Example:
         >>> import jax.numpy as jnp, pypose_tpu as pp
@@ -114,6 +122,14 @@ def knn(ref, nbr, k=1, ord=2, dim=-1, largest=False, sorted=True):
         >>> res.indices
         Array([[1, 2]], dtype=int32)
     """
+    R, N = ref.shape[-2], nbr.shape[-2]
+    auto_tiled = (chunk is None and ord == 2 and ref.ndim == 2
+                  and nbr.ndim == 2 and R * N > 64 * 1024 * 1024)
+    if (chunk is not None or auto_tiled) and ord == 2 and ref.ndim == 2 \
+            and nbr.ndim == 2:
+        if chunk is None:
+            chunk = max(128, (64 * 1024 * 1024) // max(N, 1))
+        return _knn_tiled(ref, nbr, k, largest, chunk)
     diff = ref[..., :, None, :] - nbr[..., None, :, :]
     dist = jnp.linalg.norm(diff, axis=dim, ord=ord)
     if largest:
@@ -122,6 +138,38 @@ def knn(ref, nbr, k=1, ord=2, dim=-1, largest=False, sorted=True):
         values, indices = jax.lax.top_k(-dist, k)
         values = -values
     return KNNResult(values, indices)
+
+
+def _knn_tiled(ref, nbr, k, largest, chunk):
+    """Tiled Gram-form kNN: lax.map over ref chunks; [chunk, N] distance
+    tiles only.  f32 Gram cancellation (~1e-3 on far points) cannot flip
+    a neighbor ranking unless true distances differ by less — acceptable
+    for association (ICP); use the dense path for exactness."""
+    R, N = ref.shape[0], nbr.shape[0]
+    pad = (-R) % chunk
+    refp = jnp.pad(ref, ((0, pad), (0, 0)))
+    tiles = refp.reshape(-1, chunk, ref.shape[-1])
+    nbr2 = jnp.sum(nbr * nbr, axis=-1)                       # [N]
+
+    def one(tile):
+        g = tile @ nbr.T                                     # MXU cross term
+        d2 = jnp.maximum(jnp.sum(tile * tile, -1)[:, None] + nbr2[None, :]
+                         - 2.0 * g, 0.0)
+        if k == 1:
+            idx = (jnp.argmax(d2, -1) if largest
+                   else jnp.argmin(d2, -1))
+            val = jnp.take_along_axis(d2, idx[:, None], -1)
+            return jnp.sqrt(val), idx[:, None]
+        if largest:
+            v, i = jax.lax.top_k(d2, k)
+            return jnp.sqrt(v), i
+        v, i = jax.lax.top_k(-d2, k)
+        return jnp.sqrt(-v), i
+
+    values, indices = jax.lax.map(one, tiles)
+    values = values.reshape(-1, k)[:R]
+    indices = indices.reshape(-1, k)[:R]
+    return KNNResult(values, indices.astype(jnp.int32))
 
 
 def svdtf(source, target):

@@ -197,38 +197,49 @@ class BundleAdjustment:
             fill[c] += 1
         self._cam_inc = (jnp.asarray(inc), jnp.asarray(mask))
 
-    def _acc_cams(self, contrib):
+    def _obs_data(self):
+        """Per-observation DYNAMIC arrays, threaded through the jitted
+        programs as ARGUMENTS.  Closed-over arrays become compile-time
+        constants: GSPMD drops their committed shardings (ShardedBA would
+        silently compile to fully replicated compute) and 226k-obs
+        constants ship inside the remote-compile payload (HTTP 413)."""
+        return dict(cam_idx=self.cam_idx, pt_idx=self.pt_idx,
+                    pixels=self.pixels, cameras=self.cameras,
+                    obs_valid=self.obs_valid,
+                    pt_inc=self._pt_inc, cam_inc=self._cam_inc)
+
+    def _acc_cams(self, obs, contrib):
         """[O, ...] -> [C, ...] camera-side accumulation."""
-        if self._cam_inc is None:
+        if obs['cam_inc'] is None:
             out = jnp.zeros((self.C,) + contrib.shape[1:],
                             dtype=contrib.dtype)
-            return out.at[self.cam_idx].add(contrib)
-        inc, mask = self._cam_inc
+            return out.at[obs['cam_idx']].add(contrib)
+        inc, mask = obs['cam_inc']
         gathered = contrib[inc]
         m = mask.reshape(mask.shape + (1,) * (contrib.ndim - 1))
         return jnp.sum(jnp.where(m, gathered, 0), axis=1)
 
-    def _acc_points(self, contrib):
+    def _acc_points(self, obs, contrib):
         """Sum per-observation contributions into per-point rows:
         [O, ...] -> [P, ...]."""
-        if self._pt_inc is None:
+        if obs['pt_inc'] is None:
             out = jnp.zeros((self.P,) + contrib.shape[1:],
                             dtype=contrib.dtype)
-            return out.at[self.pt_idx].add(contrib)
-        inc, mask = self._pt_inc
+            return out.at[obs['pt_idx']].add(contrib)
+        inc, mask = obs['pt_inc']
         gathered = contrib[inc]
         m = mask.reshape(mask.shape + (1,) * (contrib.ndim - 1))
         return jnp.sum(jnp.where(m, gathered, 0), axis=1)
 
     # ------------------------------------------------------------------
-    def _r_jac(self, poses_data, points):
+    def _r_jac(self, obs, poses_data, points):
         """Residuals + per-observation tangent Jacobians Jc [O,2,6],
         Jp [O,2,3] via vmapped jacrev.  (A closed-form chain-rule version
         was measured SLOWER on TPU — 14.8 vs 10.5 ms at 226k obs: XLA's
         fused AD graph beats hand-written small einsums + skew scatters;
         same lesson as the SoA Pallas kernels, CLAUDE.md.)"""
-        Tc = poses_data[self.cam_idx]
-        Xp = points[self.pt_idx]
+        Tc = poses_data[obs['cam_idx']]
+        Xp = points[obs['pt_idx']]
 
         def one(tc, xp, cam, pix):
             def f(eps_c, eps_p):
@@ -240,7 +251,7 @@ class BundleAdjustment:
             Jc, Jp = jax.jacrev(f, argnums=(0, 1))(z6, z3)
             return r, Jc, Jp
 
-        return jax.vmap(one)(Tc, Xp, self.cameras, self.pixels)
+        return jax.vmap(one)(Tc, Xp, obs['cameras'], obs['pixels'])
 
     def _robust_scale(self, r):
         if self.kernel is None:
@@ -249,15 +260,16 @@ class BundleAdjustment:
         g1 = jax.grad(lambda v: jnp.sum(self.kernel(v)))(chi)
         return jnp.sqrt(jnp.maximum(g1, 0.0))
 
-    def _chi2(self, poses_data, points):
-        Tc = SE3(poses_data[self.cam_idx])
-        Xp = points[self.pt_idx]
-        r = jax.vmap(self.residual)(Tc, Xp, self.cameras, self.pixels)
+    def _chi2(self, poses_data, points, obs=None):
+        obs = self._obs_data() if obs is None else obs
+        Tc = SE3(poses_data[obs['cam_idx']])
+        Xp = points[obs['pt_idx']]
+        r = jax.vmap(self.residual)(Tc, Xp, obs['cameras'], obs['pixels'])
         chi = jnp.sum(r * r, -1)
         if self.kernel is not None:
             chi = self.kernel(chi)
-        if self.obs_valid is not None:
-            chi = jnp.where(self.obs_valid, chi, 0.0)
+        if obs['obs_valid'] is not None:
+            chi = jnp.where(obs['obs_valid'], chi, 0.0)
         return jnp.sum(chi)
 
     def _mask_cam(self, x):
@@ -266,35 +278,35 @@ class BundleAdjustment:
         return x
 
     # ------------------------------------------------------------------
-    def _core(self, poses_data, points, strat_state):
-        r, Jc, Jp = self._r_jac(poses_data, points)
+    def _core(self, poses_data, points, strat_state, obs):
+        r, Jc, Jp = self._r_jac(obs, poses_data, points)
         # current chi2 from the residuals already in hand (saves a full
         # re-projection pass; _chi2 is only needed for candidate params)
         chi_raw = jnp.sum(r * r, -1)
         if self.kernel is not None:
             chi_raw = self.kernel(chi_raw)
-        if self.obs_valid is not None:
-            chi_raw = jnp.where(self.obs_valid, chi_raw, 0.0)
+        if obs['obs_valid'] is not None:
+            chi_raw = jnp.where(obs['obs_valid'], chi_raw, 0.0)
         last = jnp.sum(chi_raw)
         s = self._robust_scale(r)
         r = s * r
         Jc = s[..., None] * Jc
         Jp = s[..., None] * Jp
 
-        ci, pi = self.cam_idx, self.pt_idx
+        ci, pi = obs['cam_idx'], obs['pt_idx']
         C, P = self.C, self.P
 
         # gradient blocks
-        bc = -self._acc_cams(jnp.einsum('oda,od->oa', Jc, r,
+        bc = -self._acc_cams(obs, jnp.einsum('oda,od->oa', Jc, r,
                                         precision=_HI))
-        bp = -self._acc_points(jnp.einsum('oda,od->oa', Jp, r,
+        bp = -self._acc_points(obs, jnp.einsum('oda,od->oa', Jp, r,
                                           precision=_HI))
         bc = self._mask_cam(bc)
 
         # block-diagonal Hessians
-        Hcc = self._acc_cams(jnp.einsum('oda,odb->oab', Jc, Jc,
+        Hcc = self._acc_cams(obs, jnp.einsum('oda,odb->oab', Jc, Jc,
                                         precision=_HI))
-        Hpp = self._acc_points(jnp.einsum('oda,odb->oab', Jp, Jp,
+        Hpp = self._acc_points(obs, jnp.einsum('oda,odb->oab', Jp, Jp,
                                           precision=_HI))
 
         if self._use_dense_schur:
@@ -302,7 +314,7 @@ class BundleAdjustment:
             # hoisted out of the reject loop: per-observation camera-point
             # coupling blocks gathered per point, and the camera one-hot
             G = jnp.einsum('oda,odk->oak', Jc, Jp, precision=_HI)  # [O,6,3]
-            inc, incm = self._pt_inc
+            inc, incm = obs['pt_inc']
             Gp = G[inc] * incm[..., None, None]                    # [P,D,6,3]
             ohp = jax.nn.one_hot(ci[inc], C, dtype=Jc.dtype) \
                 * incm[..., None]                                  # [P,D,C]
@@ -322,7 +334,7 @@ class BundleAdjustment:
             # Schur rhs: bs = bc - Hcp Hpp^-1 bp
             y = jnp.einsum('pab,pb->pa', Hpp_inv, bp, precision=_HI)        # [P, 3]
             JpY = jnp.einsum('oda,oa->od', Jp, y[pi], precision=_HI)        # [O, 2]
-            bs = bc - self._mask_cam(self._acc_cams(
+            bs = bc - self._mask_cam(self._acc_cams(obs,
                 jnp.einsum('oda,od->oa', Jc, JpY, precision=_HI)))
 
             def Svp(x):
@@ -331,11 +343,11 @@ class BundleAdjustment:
                 hx = jnp.einsum('cab,cb->ca', Hcc_d, x, precision=_HI)
                 # Hpc x accumulated at points
                 Jcx = jnp.einsum('oda,oa->od', Jc, x[ci], precision=_HI)    # [O, 2]
-                w = self._acc_points(jnp.einsum(
+                w = self._acc_points(obs, jnp.einsum(
                     'oda,od->oa', Jp, Jcx, precision=_HI))   # Hpc x
                 w = jnp.einsum('pab,pb->pa', Hpp_inv, w, precision=_HI)     # Hpp^-1 Hpc x
                 JpW = jnp.einsum('oda,oa->od', Jp, w[pi], precision=_HI)
-                hx = hx - self._acc_cams(
+                hx = hx - self._acc_cams(obs,
                     jnp.einsum('oda,od->oa', Jc, JpW, precision=_HI))
                 return self._mask_cam(hx)
 
@@ -373,7 +385,7 @@ class BundleAdjustment:
                         cf, resid.reshape(-1)).reshape(C, 6)
                 dc = self._mask_cam(dc)
                 Jcdc = jnp.einsum('oda,oa->od', Jc, dc[ci], precision=_HI)
-                Hpcdc = self._acc_points(jnp.einsum(
+                Hpcdc = self._acc_points(obs, jnp.einsum(
                     'oda,od->oa', Jp, Jcdc, precision=_HI))
                 dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc,
                                 precision=_HI)
@@ -391,7 +403,7 @@ class BundleAdjustment:
             dc = self._mask_cam(dc)
             # back-substitute points: dp = Hpp^-1 (bp - Hpc dc)
             Jcdc = jnp.einsum('oda,oa->od', Jc, dc[ci], precision=_HI)
-            Hpcdc = self._acc_points(jnp.einsum(
+            Hpcdc = self._acc_points(obs, jnp.einsum(
                 'oda,od->oa', Jp, Jcdc, precision=_HI))
             dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc, precision=_HI)
             return dc, dp
@@ -413,7 +425,7 @@ class BundleAdjustment:
             dp = jnp.where(bad, 0.0, dp)
             T_new = SE3(T0).add(dc).tensor()
             X_new = X0 + dp
-            loss_new = self._chi2(T_new, X_new)
+            loss_new = self._chi2(T_new, X_new, obs)
             pred = pred_reduction(dc, dp)
             q = (last - loss_new) / jnp.where(pred == 0, 1e-31, pred)
             strat_new = self._strategy_update(strat, q)
@@ -459,7 +471,8 @@ class BundleAdjustment:
         if self._step_fn is None:
             self._step_fn = jax.jit(self._core)
         T, X, loss, last, strat, count = self._step_fn(
-            self.poses.tensor(), self.points, self.strategy_state)
+            self.poses.tensor(), self.points, self.strategy_state,
+            self._obs_data())
         self.poses = SE3(T)
         self.points = X
         self.strategy_state = strat
@@ -482,7 +495,7 @@ class BundleAdjustment:
         if self.strategy_state is None:
             self.strategy_state = self.strategy.init(self.points.dtype)
 
-        def run(T, X, strat):
+        def run(T, X, strat, obs):
             hist0 = jnp.full((steps,), jnp.nan, dtype=jnp.float32)
 
             def cond(st):
@@ -491,7 +504,7 @@ class BundleAdjustment:
             def body(st):
                 T0, X0, strat_s, hist, i, pat, _ = st
                 T1, X1, loss, last, strat2, count = self._core(
-                    T0, X0, strat_s)
+                    T0, X0, strat_s, obs)
                 hist = hist.at[i].set(loss.astype(jnp.float32))
                 pat2 = jnp.where(last - loss < decreasing, pat + 1,
                                  jnp.zeros_like(pat))
@@ -510,7 +523,8 @@ class BundleAdjustment:
         if key not in self._opt_cache:
             self._opt_cache[key] = jax.jit(run)
         T, X, strat, hist, nsteps = self._opt_cache[key](
-            self.poses.tensor(), self.points, self.strategy_state)
+            self.poses.tensor(), self.points, self.strategy_state,
+            self._obs_data())
         self.poses = SE3(T)
         self.points = X
         self.strategy_state = strat

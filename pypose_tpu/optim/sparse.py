@@ -284,10 +284,25 @@ class SparseLM:
                     fill[node] += 1
                 self._inc[(fi, n)] = (jnp.asarray(inc), jnp.asarray(mask))
 
-    def _accumulate(self, fi, n, contrib):
+    def _factor_data(self):
+        """Per-factor DYNAMIC arrays, threaded through the jitted programs
+        as ARGUMENTS.  Closed-over arrays become compile-time constants:
+        GSPMD drops their committed shardings (the sharded optimizers
+        would silently compile to fully replicated compute — verified:
+        zero collectives in the partitioned HLO), and large constants
+        ship inside the remote-compile payload (HTTP 413, CLAUDE.md)."""
+        return [dict(indices=f.indices, consts=f.consts,
+                     weight=None if f.weight is None
+                     else jnp.asarray(f.weight),
+                     valid=f.valid)
+                for f in self.factors]
+
+    def _accumulate(self, fi, n, contrib, idx):
         """Sum per-(edge, slot) contributions into per-node rows.
 
-        contrib: [E, arity, ...] -> [N, ...]."""
+        contrib: [E, arity, ...] -> [N, ...]; ``idx`` is this factor's
+        [E, arity] index array (traced: must come from fdata, not from
+        self.factors, to keep shardings)."""
         tail = contrib.shape[2:]
         N = int(np.prod(self.params[n].shape[:-1]))
         offs = self._slice.get((fi, n))
@@ -302,28 +317,27 @@ class SparseLM:
         inc = self._inc.get((fi, n))
         if inc is None:
             out = jnp.zeros((N,) + tail, dtype=contrib.dtype)
-            idx = self.factors[fi].indices[n].reshape(-1)
-            return out.at[idx].add(flatc)
+            return out.at[idx.reshape(-1)].add(flatc)
         inc_idx, mask = inc
         gathered = flatc[inc_idx]                      # [N, D, ...]
         m = mask.reshape(mask.shape + (1,) * len(tail))
         return jnp.sum(jnp.where(m, gathered, 0), axis=1)
 
-    def _gather_rows(self, fi, n, table):
+    def _gather_rows(self, fi, n, table, idx):
         """Gather per-edge rows of ``table`` [N, ...] -> [E, arity, ...];
         slice path for chain-structured factors."""
         offs = self._slice.get((fi, n))
         if offs is not None:
-            E = self.factors[fi].indices[n].shape[0]
+            E = idx.shape[0]
             return jnp.stack([table[o:o + E] for o in offs], axis=1)
-        return jnp.take(table, self.factors[fi].indices[n], axis=0)
+        return jnp.take(table, idx, axis=0)
 
     # ------------------------------------------------------------------
     # per-factor residuals + tangent Jacobian blocks
     # ------------------------------------------------------------------
-    def _gather(self, params, factor, fi=None):
+    def _gather(self, params, factor, fd, fi=None):
         vals = {}
-        for name, idx in factor.indices.items():
+        for name, idx in fd['indices'].items():
             p = params[name]
             offs = self._slice.get((fi, name)) if fi is not None else None
             if offs is not None:
@@ -340,12 +354,12 @@ class SparseLM:
                     else jnp.take(p, idx, axis=0)
         return vals
 
-    def _edge_r_jac(self, params, factor, fi=None):
-        vals = self._gather(params, factor, fi)  # name -> [E, arity, D]
+    def _edge_r_jac(self, params, factor, fd, fi=None):
+        vals = self._gather(params, factor, fd, fi)  # name -> [E, arity, D]
         names = list(factor.indices.keys())
 
         if factor.jacobian is not None:
-            return jax.vmap(factor.jacobian)(vals, factor.consts)
+            return jax.vmap(factor.jacobian)(vals, fd['consts'])
 
         def one_edge(vals_e, consts_e):
             def f(eps):
@@ -362,13 +376,12 @@ class SparseLM:
             r = f(eps0)
             return r, J
 
-        return jax.vmap(one_edge)(vals, factor.consts)
+        return jax.vmap(one_edge)(vals, fd['consts'])
 
-    def _weighted(self, factor, r, J):
+    def _weighted(self, factor, fd, r, J):
         """Apply robust kernel (FastTriggs) and info weights -> (r, J, WR, WJ, chi2)."""
-        w = factor.weight
+        w = fd['weight']
         if w is not None:
-            w = jnp.asarray(w)
             if w.ndim == 2:
                 w = jnp.broadcast_to(w, (r.shape[0],) + w.shape)
         if factor.kernel is not None:
@@ -384,14 +397,13 @@ class SparseLM:
         WJ = {n: jnp.einsum('eij,ejat->eiat', w, j, precision=_HI) for n, j in J.items()}
         return r, J, WR, WJ
 
-    def _chi2(self, params):
+    def _chi2(self, params, fdata):
         total = 0.0
-        for fi, f in enumerate(self.factors):
-            vals = self._gather(params, f, fi)
-            r = jax.vmap(lambda v, c: f.residual(v, c))(vals, f.consts)
-            w = f.weight
+        for fi, (f, fd) in enumerate(zip(self.factors, fdata)):
+            vals = self._gather(params, f, fd, fi)
+            r = jax.vmap(lambda v, c: f.residual(v, c))(vals, fd['consts'])
+            w = fd['weight']
             if w is not None:
-                w = jnp.asarray(w)
                 if w.ndim == 2:
                     w = jnp.broadcast_to(w, (r.shape[0],) + w.shape)
                 chi = jnp.sum(r * jnp.einsum('eij,ej->ei', w, r, precision=_HI), -1)
@@ -399,8 +411,8 @@ class SparseLM:
                 chi = jnp.sum(r * r, -1)
             if f.kernel is not None:
                 chi = f.kernel(chi)
-            if f.valid is not None:
-                chi = jnp.where(f.valid, chi, 0.0)
+            if fd['valid'] is not None:
+                chi = jnp.where(fd['valid'], chi, 0.0)
             total = total + jnp.sum(chi)
         return total
 
@@ -413,7 +425,7 @@ class SparseLM:
             return x
         return jnp.where(jnp.asarray(m)[:, None], 0.0, x)
 
-    def _matvec(self, blocks, x):
+    def _matvec(self, blocks, fdata, x):
         """y = J^T W J x over the tangent pytree x (dict name -> [N, tan]).
 
         Contractions run in flattened [E, d, arity*tan] bmm form (measured
@@ -421,10 +433,12 @@ class SparseLM:
         row gathers, which run at the hardware's per-row gather limit).
         """
         out = {n: jnp.zeros_like(v) for n, v in x.items()}
-        for fi, (f, (r, J, WR, WJ)) in enumerate(zip(self.factors, blocks)):
+        for fi, (f, fd, (r, J, WR, WJ)) in enumerate(
+                zip(self.factors, fdata, blocks)):
             Jx = 0.0
             for n in f.indices:
-                xg = self._gather_rows(fi, n, self._mask(n, x[n]))
+                xg = self._gather_rows(fi, n, self._mask(n, x[n]),
+                                       fd['indices'][n])
                 E, A, T = xg.shape
                 Jm = J[n].reshape(E, -1, A * T)
                 Jx = Jx + jnp.einsum('eij,ej->ei', Jm, xg.reshape(E, A * T),
@@ -435,37 +449,40 @@ class SparseLM:
                 WJm = WJ[n].reshape(E, Jx.shape[1], -1)
                 contrib = jnp.einsum('eij,ei->ej', WJm, Jx, precision=_HI).reshape(
                     E, A, -1)
-                out[n] = out[n] + self._accumulate(fi, n, contrib)
+                out[n] = out[n] + self._accumulate(fi, n, contrib,
+                                                   fd['indices'][n])
         return {n: self._mask(n, v) for n, v in out.items()}
 
-    def _rhs(self, blocks):
+    def _rhs(self, blocks, fdata):
         """b = -J^T W r."""
         out = {}
-        for fi, (f, (r, J, WR, WJ)) in enumerate(zip(self.factors, blocks)):
+        for fi, (f, fd, (r, J, WR, WJ)) in enumerate(
+                zip(self.factors, fdata, blocks)):
             for n in f.indices:
                 contrib = jnp.einsum('edat,ed->eat', WJ[n], r, precision=_HI)
-                acc = -self._accumulate(fi, n, contrib)
+                acc = -self._accumulate(fi, n, contrib, fd['indices'][n])
                 out[n] = acc if n not in out else out[n] + acc
         return {n: self._mask(n, v) for n, v in out.items()}
 
-    def _diag(self, blocks):
+    def _diag(self, blocks, fdata):
         """diag(J^T W J) per tangent coordinate (for LM damping)."""
         out = {}
-        for fi, (f, (r, J, WR, WJ)) in enumerate(zip(self.factors, blocks)):
+        for fi, (f, fd, (r, J, WR, WJ)) in enumerate(
+                zip(self.factors, fdata, blocks)):
             for n in f.indices:
                 d = jnp.sum(J[n] * WJ[n], axis=1)  # [E, arity, tan]
-                acc = self._accumulate(fi, n, d)
+                acc = self._accumulate(fi, n, d, fd['indices'][n])
                 out[n] = acc if n not in out else out[n] + acc
         return out
 
-    def _block_diag_accum(self, blocks):
+    def _block_diag_accum(self, blocks, fdata):
         """Per-node tan x tan diagonal blocks of J^T W J."""
         acc_out = {}
-        for fi, (f, (r, J, WJ_r, WJ)) in enumerate(zip(self.factors,
-                                                       blocks)):
+        for fi, (f, fd, (r, J, WJ_r, WJ)) in enumerate(
+                zip(self.factors, fdata, blocks)):
             for n in f.indices:
                 B = jnp.einsum('edat,edau->eatu', WJ[n], J[n], precision=_HI)
-                acc = self._accumulate(fi, n, B)
+                acc = self._accumulate(fi, n, B, fd['indices'][n])
                 acc_out[n] = acc if n not in acc_out else acc_out[n] + acc
         return acc_out
 
@@ -542,14 +559,14 @@ class SparseLM:
         return lambda x: {n: appliers[n](x[n]) for n in x}
 
     # ------------------------------------------------------------------
-    def _core(self, params, strat_state):
-        blocks = [self._weighted(f, *self._edge_r_jac(params, f, fi))
-                  for fi, f in enumerate(self.factors)]
-        b = self._rhs(blocks)
-        diag_raw = self._diag(blocks)
+    def _core(self, params, strat_state, fdata):
+        blocks = [self._weighted(f, fd, *self._edge_r_jac(params, f, fd, fi))
+                  for fi, (f, fd) in enumerate(zip(self.factors, fdata))]
+        b = self._rhs(blocks, fdata)
+        diag_raw = self._diag(blocks, fdata)
         diagA = {n: jnp.clip(v, self.min, self.max)
                  for n, v in diag_raw.items()}
-        last = self._chi2(params)
+        last = self._chi2(params, fdata)
         nparam = sum(int(np.prod(v.shape[:-1])) * _tan_dim(v)
                      for v in params.values())
         maxiter = self.cg_iter if self.cg_iter is not None \
@@ -557,7 +574,7 @@ class SparseLM:
 
         # per-node diagonal blocks of J^T W J: used by the preconditioners
         # AND as the D-part of the coupling-block matvec
-        accum = self._block_diag_accum(blocks)
+        accum = self._block_diag_accum(blocks, fdata)
         if self._spmv is not None:
             nm = self._spmv_name
             # coupling blocks precomputed ONCE per step, amortized over
@@ -574,7 +591,7 @@ class SparseLM:
                 return {nm: self._mask(nm, y)}
         else:
             def raw_matvec(x):
-                return self._matvec(blocks, x)
+                return self._matvec(blocks, fdata, x)
 
         # whole-CG Pallas kernel path: merged stencil channels + VMEM-
         # resident solver (ops/pallas_cg.py); block-Jacobi only
@@ -639,15 +656,16 @@ class SparseLM:
         def pred_reduction(blocks_, delta, WRs):
             """-(JD)^T W (2R + JD) accumulated per factor."""
             total = 0.0
-            for fi2, (f, (r, J, WR, WJ)) in enumerate(
-                    zip(self.factors, blocks_)):
+            for fi2, (f, fd, (r, J, WR, WJ)) in enumerate(
+                    zip(self.factors, fdata, blocks_)):
                 Jd = 0.0
                 for n in f.indices:
-                    xg = self._gather_rows(fi2, n, self._mask(n, delta[n]))
+                    xg = self._gather_rows(fi2, n, self._mask(n, delta[n]),
+                                           fd['indices'][n])
                     Jd = Jd + jnp.einsum('edat,eat->ed', J[n], xg, precision=_HI)
                 WJd = jnp.einsum('eij,ej->ei', jnp.broadcast_to(
-                    jnp.asarray(f.weight), (r.shape[0],) + (r.shape[-1],) * 2
-                ), Jd) if f.weight is not None else Jd
+                    fd['weight'], (r.shape[0],) + (r.shape[-1],) * 2
+                ), Jd) if fd['weight'] is not None else Jd
                 total = total + jnp.sum(WJd * (2.0 * r + Jd))
             return -total
 
@@ -663,7 +681,7 @@ class SparseLM:
             D = jax.tree_util.tree_map(
                 lambda v: jnp.where(bad, jnp.zeros_like(v), v), D)
             cand = retract_all(p0, D)
-            loss_new = self._chi2(cand)
+            loss_new = self._chi2(cand, fdata)
             pred = pred_reduction(blocks, D, None)
             q = (last - loss_new) / jnp.where(pred == 0, 1e-31, pred)
             strat_new = self._strategy_update(strat, q)
@@ -713,7 +731,7 @@ class SparseLM:
         if self._step_fn is None:
             self._step_fn = jax.jit(self._core)
         p, loss, last, strat, count = self._step_fn(
-            self.params, self.strategy_state)
+            self.params, self.strategy_state, self._factor_data())
         self.params = p
         self.strategy_state = strat
         # single host round-trip for all scalars (each blocking transfer
@@ -735,7 +753,7 @@ class SparseLM:
             dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
             self.strategy_state = self.strategy.init(dtype)
 
-        def run(params, strat):
+        def run(params, strat, fdata):
             hist0 = jnp.full((steps,), jnp.nan, dtype=jnp.float32)
 
             def cond(st):
@@ -743,7 +761,8 @@ class SparseLM:
 
             def body(st):
                 p, strat_s, last_loss, hist, i, pat, _ = st
-                p2, loss, last, strat2, count = self._core(p, strat_s)
+                p2, loss, last, strat2, count = self._core(p, strat_s,
+                                                           fdata)
                 hist = hist.at[i].set(loss.astype(jnp.float32))
                 pat2 = jnp.where(last - loss < decreasing, pat + 1,
                                  jnp.zeros_like(pat))
@@ -763,7 +782,7 @@ class SparseLM:
                 self._opt_cache = {}
             self._opt_cache[key] = jax.jit(run)
         p, strat, loss, hist, nsteps = self._opt_cache[key](
-            self.params, self.strategy_state)
+            self.params, self.strategy_state, self._factor_data())
         self.params = p
         self.strategy_state = strat
         loss, hist, nsteps = jax.device_get((loss, hist, nsteps))

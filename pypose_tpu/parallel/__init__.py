@@ -25,7 +25,8 @@ from ..optim.sparse import SparseLM, Factor, pgo_factor
 from ..optim.strategy import Constant, TrustRegion
 
 __all__ = ['make_mesh', 'shard_leading', 'replicate', 'ShardedLM',
-           'ShardedPGO', 'make_pgo_step', 'make_ba_step', 'ShardedBA']
+           'ShardedPGO', 'make_pgo_step', 'make_ba_step', 'ShardedBA',
+           'sharded_stencil_matvec']
 
 
 def make_mesh(n_devices=None, axis='dp', devices=None):
@@ -202,6 +203,82 @@ def make_ba_step(n_cams, n_points, damping=1e-4, cg_iter=30, cg_tol=1e-6):
         return SE3(poses_data).add(dc).tensor(), points + dp, chi2
 
     return step
+
+
+def sharded_stencil_matvec(stencil, mesh, axis='mp'):
+    r"""shard_map variant of the circulant-stencil CG matvec
+    (:class:`pypose_tpu.ops.spmv.StencilSpMV`): nodes shard over ``axis``
+    and every global ``jnp.roll`` becomes explicit ring halo exchange.
+
+    Per offset ``d = q*S + r`` (S = shard size) the forward term needs the
+    remote block ``b+q`` plus an ``r``-row halo from ``b+q+1``; the
+    transpose term is symmetric.  For graph stencils with ``d < S`` (PGO:
+    offsets 1 and the loop stride) that is exactly TWO
+    ``lax.ppermute`` s of ``r`` rows each per offset per CG iteration —
+    O(halo) ICI traffic, independent of N and E, and ZERO
+    all-gather/all-reduce (the diagonal and coupling channels are sharded
+    with the nodes, so no replicated state is touched).  The expensive
+    channel build (``precompute``) happens once per LM step and amortizes
+    over the whole CG solve.
+
+    Returns ``matvec(C, D, x) -> y`` where C ``[n_off, N, t, t]``,
+    D ``[N, t, t]``, x ``[N, t]`` are sharded on their node dim over
+    ``axis``.  Numerically identical to ``stencil.matvec``
+    (tests/parallel/test_collectives.py pins equality and the collective
+    schedule).
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map
+
+    m = mesh.shape[axis]
+    N = stencil.N
+    assert N % m == 0, f'N={N} must divide the mesh ({m} shards)'
+    S = N // m
+    offsets = stencil.offsets
+    ring_fwd = {}
+    for d in offsets:
+        q, r = divmod(d, S)
+        ring_fwd[d] = (q % m, r)
+
+    def local(C_loc, D_loc, x_loc):
+        # blocks arrive with a leading shard dim of size 1 under
+        # shard_map's per-device view when the spec only names the node
+        # dim; shapes here are C [n_off, S, t, t], D [S, t, t], x [S, t]
+        def shift(v, hops):
+            """Fetch this device's +hops neighbor's ``v`` (ring)."""
+            if hops % m == 0:
+                return v
+            perm = [((b + hops) % m, b) for b in range(m)]
+            return jax.lax.ppermute(v, axis, perm)
+
+        y = jnp.einsum('ntu,nu->nt', D_loc, x_loc, precision=_HI)
+        for k, d in enumerate(offsets):
+            q, r = ring_fwd[d]
+            # forward: y_b += C_b[k] @ roll(x, -d)_b
+            A = shift(x_loc, q)
+            if r == 0:
+                xr = A
+            else:
+                halo = shift(x_loc[:r], q + 1)
+                xr = jnp.concatenate([A[r:], halo], axis=0)
+            y = y + jnp.einsum('ntu,nu->nt', C_loc[k], xr, precision=_HI)
+            # transpose: y += roll(C[k]^T-product, +d)
+            back = jnp.einsum('ntu,nt->nu', C_loc[k], x_loc, precision=_HI)
+            A2 = shift(back, -q)
+            if r == 0:
+                y = y + A2
+            else:
+                tail = shift(back[S - r:], -(q + 1))
+                y = y + jnp.concatenate([tail, A2[:S - r]], axis=0)
+        return y
+
+    node = P(None, axis)  # C: [n_off, N, ...] -> node dim is axis 1
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(node, P(axis), P(axis)),
+                   out_specs=P(axis))
+    return fn
 
 
 def _pad_factor(factor, params, multiple):

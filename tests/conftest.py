@@ -15,14 +15,10 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
-# Persistent XLA compilation cache: test wall-clock is dominated by CPU
-# compiles (~3.5 s/test cold on a 1-core box); warm gate runs hit the
-# cache instead.  Safe to delete .jax_test_cache/ any time.
-_CACHE = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), '.jax_test_cache')
-jax.config.update('jax_compilation_cache_dir', _CACHE)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)
+# NOTE: a persistent XLA compilation cache was tried here and REVERTED:
+# the CPU backend stores machine-feature-stamped AOT code, and cache hits
+# across processes with different XLA_FLAGS produce "+prefer-no-scatter
+# not supported on the host machine ... could lead to SIGILL" loads.
 
 
 # ---------------------------------------------------------------------------

@@ -64,7 +64,9 @@ def test_matvec_matches_dense():
     infos = jnp.broadcast_to(1.5 * jnp.eye(6), (E, 6, 6))
     factor = pgo_factor(edges, Z, infos)
     opt = SparseLM({'poses': init}, [factor])
-    blocks = [opt._weighted(factor, *opt._edge_r_jac(opt.params, factor))]
+    fdata = opt._factor_data()
+    blocks = [opt._weighted(factor, fdata[0],
+                            *opt._edge_r_jac(opt.params, factor, fdata[0]))]
     r, J, WR, WJ = blocks[0]
     N = init.lshape[0]
     # dense J [6E, 6N]
@@ -77,16 +79,16 @@ def test_matvec_matches_dense():
     W = np.kron(np.eye(E), 1.5 * np.eye(6))
     A = Jd.T @ W @ Jd
     x = np.random.default_rng(0).normal(size=(N, 6)).astype(np.float32)
-    y_sparse = np.asarray(opt._matvec(blocks, {'poses': jnp.asarray(x)})
-                          ['poses'])
+    y_sparse = np.asarray(opt._matvec(blocks, fdata,
+                                      {'poses': jnp.asarray(x)})['poses'])
     y_dense = (A @ x.reshape(-1)).reshape(N, 6)
     np.testing.assert_allclose(y_sparse, y_dense, rtol=2e-3, atol=1e-3)
     # rhs
-    b_sparse = np.asarray(opt._rhs(blocks)['poses'])
+    b_sparse = np.asarray(opt._rhs(blocks, fdata)['poses'])
     b_dense = (-Jd.T @ W @ np.asarray(r).reshape(-1)).reshape(N, 6)
     np.testing.assert_allclose(b_sparse, b_dense, rtol=2e-3, atol=1e-3)
     # diag
-    d_sparse = np.asarray(opt._diag(blocks)['poses'])
+    d_sparse = np.asarray(opt._diag(blocks, fdata)['poses'])
     np.testing.assert_allclose(d_sparse,
                                np.diagonal(A).reshape(N, 6),
                                rtol=2e-3, atol=1e-3)
