@@ -128,6 +128,17 @@ def stencil_cg_transposed(b_T, A_T, Minv_T, C_T, offsets, t, maxiter,
     return x, it[0]
 
 
+def stencil_cg_fits_vmem(N, t, n_off):
+    """True when the whole-CG kernel's VMEM footprint fits the ~10 MB
+    budget (operands b/A/Minv/C + ~5 state vectors + matvec temps).
+    Callers should take their OWN [N, t]-layout CG path when this is
+    False: the kernel's [t, N] transposed XLA fallback was measured at
+    283 us/iter + 38 ms fixed at N=100k (the t*t-slice _block_mul does
+    not fuse outside Pallas) vs ~30 us for the plain einsum matvec."""
+    est_bytes = 4 * N * (t + 2 * t * t + n_off * t * t + 5 * t + 2 * t)
+    return est_bytes <= 10 * 2 ** 20
+
+
 def stencil_cg(b, Ablk, dcorr, Minv, C, offsets, fixed_mask=None,
                maxiter=100, tol=1e-5, use_pallas=True):
     r"""Preconditioned CG on stencil-form normal equations.
@@ -151,9 +162,10 @@ def stencil_cg(b, Ablk, dcorr, Minv, C, offsets, fixed_mask=None,
     # Scoped VMEM is 16 MB on v5e; past ~10 MB estimated footprint the
     # compile fails ("scoped vmem limit exceeded"), so fall back to the
     # same CG in plain XLA (HBM-resident, still stencil-form matvec).
-    est_bytes = 4 * N * (t + 2 * t * t + n_off * t * t      # operands
-                         + 5 * t + 2 * t)                   # state + temps
-    if est_bytes > 10 * 2 ** 20:
+    # NOTE: prefer checking stencil_cg_fits_vmem() and routing to an
+    # [N, t]-layout CG instead — the transposed fallback is ~9x slower
+    # per iteration at N=100k (SparseLM does this, optim/sparse.py).
+    if not stencil_cg_fits_vmem(N, t, n_off):
         use_pallas = False
     if fixed_mask is not None:
         m = (~jnp.asarray(fixed_mask)).astype(b.dtype)

@@ -594,9 +594,21 @@ class SparseLM:
                 return self._matvec(blocks, fdata, x)
 
         # whole-CG Pallas kernel path: merged stencil channels + VMEM-
-        # resident solver (ops/pallas_cg.py); block-Jacobi only
+        # resident solver (ops/pallas_cg.py); block-Jacobi only.  When the
+        # [t, N] kernel state would NOT fit scoped VMEM (~10 MB budget),
+        # route to the plain [N, t]-layout einsum CG below instead of
+        # stencil_cg's transposed XLA fallback: outside Pallas the t*t-
+        # slice _block_mul does not fuse and was measured at 283 us/iter
+        # + 38 ms fixed at N=100k vs ~30 us/iter for the einsum matvec
+        # (tools/matvec_prof.py --whole-cg, r3).
         use_kernel = (self._stencil_all is not None
                       and self.precond != 'chain')
+        if use_kernel:
+            from ..ops.pallas_cg import stencil_cg_fits_vmem
+            _nm = self._spmv_name
+            _N, _t = b[_nm].shape
+            use_kernel = stencil_cg_fits_vmem(
+                _N, _t, len(self._stencil_all.offsets))
         if use_kernel:
             nm = self._spmv_name
             C_all = self._stencil_all.precompute_multi(

@@ -27,6 +27,9 @@ CASES = [
     ('reproj_pgo.py', ['--poses', '8', '--landmarks', '30',
                        '--steps', '3']),
     ('imu_corrector.py', ['--iters', '10', '--frames', '20']),
+    ('bicycle.py', ['--steps', '10', '--particles', '100']),
+    ('mpc_linear_learning.py', ['--iters', '5']),
+    ('pointcloud_registration.py', ['--points', '200']),
 ]
 
 
