@@ -304,6 +304,17 @@ class SparseLM:
         [E, arity] index array (traced: must come from fdata, not from
         self.factors, to keep shardings)."""
         tail = contrib.shape[2:]
+        if len(tail) > 1:
+            # NEVER gather/scatter arrays with two small minor dims: XLA
+            # tiles the last two dims to (8, 128), so a [N, D, 6, 6]
+            # incidence gather moves ~21x the logical bytes (measured:
+            # _block_diag_accum at N=1e5/E=1.8e5 was 54 ms of a 205 ms
+            # LM step, temp footprint 4.3 GB vs 26 MB logical —
+            # tools/formation_prof.py, r3).  Flatten the tail to ONE
+            # minor dim for the memory movement, reshape after.
+            flat = self._accumulate(
+                fi, n, contrib.reshape(contrib.shape[:2] + (-1,)), idx)
+            return flat.reshape(flat.shape[:1] + tail)
         N = int(np.prod(self.params[n].shape[:-1]))
         offs = self._slice.get((fi, n))
         if offs is not None:
