@@ -32,6 +32,23 @@ _HI = jax.lax.Precision.HIGHEST
 TILE = 128
 
 
+def _coupling_flat(J, WJ):
+    """C_e = J_i^T W J_j as FLAT [E, t*t] columns of [E] vectors.
+
+    The einsum form ('edt,edu->etu') materializes an (8, 128)-padded
+    [E, t, t] temp that moves ~21x the logical bytes (measured —
+    tools/formation_prof.py, r3); column stacking keeps every
+    intermediate [E]-shaped.  Python loops run over t*t <= 64, not E.
+    """
+    t = J.shape[-1]
+    if t > 8:
+        return jnp.einsum('edt,edu->etu', WJ[:, :, 0, :], J[:, :, 1, :],
+                          precision=_HI).reshape(-1, t * t)
+    cols = [jnp.sum(WJ[:, :, 0, ti] * J[:, :, 1, u], axis=1)
+            for ti in range(t) for u in range(t)]
+    return jnp.stack(cols, axis=-1)
+
+
 class CouplingSpMV:
     r"""Static structure + per-step compiled matvec for one arity-2 factor
     group.
@@ -118,14 +135,12 @@ class CouplingSpMV:
         :meth:`matvec`; cost is one batched einsum + static gathers, paid
         once per LM step and amortized over every CG iteration.
         """
-        # off-diagonal coupling blocks C_e = J_i^T W J_j  [E, t, t]
+        # off-diagonal coupling blocks C_e = J_i^T W J_j, built and
+        # gathered/permuted in FLAT [rows, t*t] layout: [R, t, t] forms
+        # tile the (t, t) minor dims to (8, 128) and move ~21x the
+        # logical bytes (tools/formation_prof.py, r3)
         t = self.tan
-        C = jnp.einsum('edt,edu->etu', WJ[:, :, 0, :], J[:, :, 1, :],
-                       precision=_HI)
-        # gather/permute in [rows, t*t] layout: a [R, t, t] gather tiles
-        # the (t, t) minor dims to (8, 128) and moves ~21x the logical
-        # bytes (tools/formation_prof.py, r3)
-        Cf = C.reshape(-1, t * t)
+        Cf = _coupling_flat(J, WJ)
         state = {}
         cr = jnp.asarray(self.chain_rows)
         lr = jnp.asarray(self.loop_rows)
@@ -239,14 +254,14 @@ class StencilSpMV:
         order (used to merge all of a SparseLM's factors into the ONE
         stencil the whole-CG kernel consumes)."""
         t = self.tan
-        Cs = [jnp.einsum('edt,edu->etu', WJ[:, :, 0, :], J[:, :, 1, :],
-                         precision=_HI) for J, WJ in pairs]
-        C = jnp.concatenate(Cs, axis=0) if len(Cs) > 1 else Cs[0]
+        C = jnp.concatenate([_coupling_flat(J, WJ) for J, WJ in pairs],
+                            axis=0) if len(pairs) > 1 \
+            else _coupling_flat(*pairs[0])
         # scatter in [rows, t*t] layout: a [rows, t, t] scatter-add tiles
         # the (t, t) minor dims to (8, 128) and moves ~21x the logical
         # bytes (measured 25 ms at N=1e5 — tools/formation_prof.py, r3)
         chan = jnp.zeros((len(self.offsets) * self.N, t * t), C.dtype)
-        return chan.at[self._slot].add(C.reshape(-1, t * t)).reshape(
+        return chan.at[self._slot].add(C).reshape(
             len(self.offsets), self.N, t, t)
 
     def couple(self, C, x):

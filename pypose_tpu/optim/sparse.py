@@ -67,12 +67,18 @@ class Factor:
     """
 
     def __init__(self, residual, indices, consts=None, weight=None,
-                 kernel=None, jacobian=None, valid=None):
+                 kernel=None, jacobian=None, valid=None,
+                 batched_jacobian=None):
         self.residual = residual
         # optional analytic jacobian(values, consts) -> (r, {name: J})
         # with J shaped [d, arity, tan] per edge (vmapped internally);
         # falls back to jacrev of the residual when None.
         self.jacobian = jacobian
+        # optional WHOLE-BATCH analytic jacobian(values, consts) ->
+        # (r [E, d], {name: J [E, d, arity, tan]}) — takes precedence
+        # over ``jacobian``.  Used by scalarized forms whose temps must
+        # stay [E]-shaped (lietensor/scalarized.py).
+        self.batched_jacobian = batched_jacobian
         self.indices = {k: jnp.asarray(v) for k, v in indices.items()}
         for k, v in self.indices.items():
             if v.ndim == 1:
@@ -369,6 +375,8 @@ class SparseLM:
         vals = self._gather(params, factor, fd, fi)  # name -> [E, arity, D]
         names = list(factor.indices.keys())
 
+        if factor.batched_jacobian is not None:
+            return factor.batched_jacobian(vals, fd['consts'])
         if factor.jacobian is not None:
             return jax.vmap(factor.jacobian)(vals, fd['consts'])
 
@@ -464,13 +472,28 @@ class SparseLM:
                                                    fd['indices'][n])
         return {n: self._mask(n, v) for n, v in out.items()}
 
+    # small-block contractions build their outputs COLUMN-WISE as stacks
+    # of [E] vectors when the block dims are small: the einsum forms
+    # materialize (8, 128)-padded [E, a, t, u]-style temps that move
+    # 20-100x the logical bytes (measured: _rhs 7.4 ms, _block_diag 22 ms
+    # at E=1.8e5 where the roofline is <1 ms — tools/formation_prof.py,
+    # r3).  Python loops here are over block DIMS (<= ~8), not edges.
+    _SCALARIZE_MAX_T = 8
+
     def _rhs(self, blocks, fdata):
         """b = -J^T W r."""
         out = {}
         for fi, (f, fd, (r, J, WR, WJ)) in enumerate(
                 zip(self.factors, fdata, blocks)):
             for n in f.indices:
-                contrib = jnp.einsum('edat,ed->eat', WJ[n], r, precision=_HI)
+                E, d, A, t = WJ[n].shape
+                if t <= self._SCALARIZE_MAX_T:
+                    cols = [jnp.sum(WJ[n][:, :, a, ti] * r, axis=1)
+                            for a in range(A) for ti in range(t)]
+                    contrib = jnp.stack(cols, axis=-1).reshape(E, A, t)
+                else:
+                    contrib = jnp.einsum('edat,ed->eat', WJ[n], r,
+                                         precision=_HI)
                 acc = -self._accumulate(fi, n, contrib, fd['indices'][n])
                 out[n] = acc if n not in out else out[n] + acc
         return {n: self._mask(n, v) for n, v in out.items()}
@@ -481,8 +504,15 @@ class SparseLM:
         for fi, (f, fd, (r, J, WR, WJ)) in enumerate(
                 zip(self.factors, fdata, blocks)):
             for n in f.indices:
-                d = jnp.sum(J[n] * WJ[n], axis=1)  # [E, arity, tan]
-                acc = self._accumulate(fi, n, d, fd['indices'][n])
+                E, d, A, t = WJ[n].shape
+                if t <= self._SCALARIZE_MAX_T:
+                    cols = [jnp.sum(J[n][:, :, a, ti] * WJ[n][:, :, a, ti],
+                                    axis=1)
+                            for a in range(A) for ti in range(t)]
+                    acc_c = jnp.stack(cols, axis=-1).reshape(E, A, t)
+                else:
+                    acc_c = jnp.sum(J[n] * WJ[n], axis=1)  # [E, arity, tan]
+                acc = self._accumulate(fi, n, acc_c, fd['indices'][n])
                 out[n] = acc if n not in out else out[n] + acc
         return out
 
@@ -492,7 +522,16 @@ class SparseLM:
         for fi, (f, fd, (r, J, WJ_r, WJ)) in enumerate(
                 zip(self.factors, fdata, blocks)):
             for n in f.indices:
-                B = jnp.einsum('edat,edau->eatu', WJ[n], J[n], precision=_HI)
+                E, d, A, t = WJ[n].shape
+                if t <= self._SCALARIZE_MAX_T:
+                    cols = [jnp.sum(WJ[n][:, :, a, ti] * J[n][:, :, a, u],
+                                    axis=1)
+                            for a in range(A) for ti in range(t)
+                            for u in range(t)]
+                    B = jnp.stack(cols, axis=-1).reshape(E, A, t, t)
+                else:
+                    B = jnp.einsum('edat,edau->eatu', WJ[n], J[n],
+                                   precision=_HI)
                 acc = self._accumulate(fi, n, B, fd['indices'][n])
                 acc_out[n] = acc if n not in acc_out else acc_out[n] + acc
         return acc_out
@@ -857,8 +896,23 @@ def pgo_factor(edges, poses, infos=None, kernel=None, name='poses'):
 
     form = _FORMS.get(poses.ltype)
     jac = make_jacobian(*form) if form is not None else None
+
+    bjac = None
+    if poses.ltype is SE3_type:
+        # scalarized whole-batch form: identical math, all temps
+        # [E]-shaped — the vmapped AoS chain materializes (8,128)-padded
+        # [E, 3, 3] temps and runs ~25x off roofline at E=1.8e5
+        # (lietensor/scalarized.py, tools/formation_prof.py r3)
+        from ..lietensor.scalarized import se3_pgo_blocks
+
+        def bjac(values, Z):
+            X = values[name].tensor()
+            r, J = se3_pgo_blocks(X[:, 0], X[:, 1], Z.tensor())
+            return r, {name: J}
+
     return Factor(residual, indices={name: edges}, consts=poses,
-                  weight=infos, kernel=kernel, jacobian=jac)
+                  weight=infos, kernel=kernel, jacobian=jac,
+                  batched_jacobian=bjac)
 
 
 def split_chain_edges(edges, min_run=64):
