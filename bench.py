@@ -565,6 +565,41 @@ def bench_pgo_chain():
         f'chi2 {opt.history[0]:.3e} -> {loss:.3e}')
 
 
+def bench_pgo_100k():
+    """Secondary: 100k-pose / 180k-edge PGO — the large-single-chip
+    regime (whole-CG kernel state exceeds VMEM; SparseLM routes to its
+    einsum-CG path; formation is the scalarized [E]-vector form)."""
+    import jax.numpy as jnp
+    from pypose_tpu.datasets import synthetic_sphere
+    from pypose_tpu.optim.sparse import (SparseLM, pgo_factor,
+                                         split_chain_edges)
+    from pypose_tpu.optim.strategy import TrustRegion
+
+    N = 100_000
+    ds = synthetic_sphere(N)
+    edges = jnp.asarray(ds['edges'])
+    runs, rest = split_chain_edges(edges)
+    factors = [pgo_factor(edges[jnp.asarray(r)],
+                          ds['poses'][jnp.asarray(r)]) for r in runs]
+    if len(rest):
+        factors.append(pgo_factor(edges[jnp.asarray(rest)],
+                                  ds['poses'][jnp.asarray(rest)]))
+    fixed = {'poses': jnp.zeros(N, bool).at[0].set(True)}
+    opt = SparseLM({'poses': ds['nodes']}, factors,
+                   strategy=TrustRegion(radius=1e4), fixed=fixed,
+                   cg_iter=250, cg_tol=1e-6)
+    opt.optimize(steps=6, decreasing=1e-6, patience=2)   # compile + run
+    opt.params = {'poses': ds['nodes']}
+    opt.strategy_state = opt.strategy.init(jnp.float32)
+    t0 = time.perf_counter()
+    loss = opt.optimize(steps=6, decreasing=1e-6, patience=2)
+    dt = time.perf_counter() - t0
+    log(f'[pgo-100k] {N} poses, {edges.shape[0]} edges: '
+        f'{len(opt.history)} warm device-side LM steps in {dt:.3f}s '
+        f'({dt/len(opt.history)*1e3:.1f} ms/step), chi2 '
+        f'{opt.history[0]:.3e} -> {loss:.3e}')
+
+
 def bench_filters(T=1000):
     """Secondary: EKF over a 1000-step rollout as one lax.scan program
     (BASELINE config: filters on an NLS system, 1k-step rollout)."""
@@ -623,6 +658,10 @@ def main():
         bench_pgo_chain()
     except Exception as e:
         log('[pgo-chain] failed:', e)
+    try:
+        bench_pgo_100k()
+    except Exception as e:
+        log('[pgo-100k] failed:', e)
     try:
         bench_modules()
     except Exception as e:

@@ -265,14 +265,22 @@ class StencilSpMV:
             len(self.offsets), self.N, t, t)
 
     def couple(self, C, x):
-        """Off-diagonal part via offset stencils (zero gathers)."""
-        y = jnp.zeros_like(x)
+        """Off-diagonal part via offset stencils (zero gathers).
+
+        With bf16 channels (and bf16 x) the contractions run DEFAULT
+        precision single-pass with f32 accumulation — half the HBM
+        bytes of the f32 channels, the CG matvec's roofline term."""
+        hi = _HI if C.dtype == jnp.float32 else None
+        acc = jnp.float32
+        y = jnp.zeros(x.shape, acc)
         for k, d in enumerate(self.offsets):
             xr = jnp.roll(x, -d, axis=0)
-            y = y + jnp.einsum('ntu,nu->nt', C[k], xr, precision=_HI)
-            back = jnp.einsum('ntu,nt->nu', C[k], x, precision=_HI)
+            y = y + jnp.einsum('ntu,nu->nt', C[k], xr, precision=hi,
+                               preferred_element_type=acc)
+            back = jnp.einsum('ntu,nt->nu', C[k], x, precision=hi,
+                              preferred_element_type=acc)
             y = y + jnp.roll(back, d, axis=0)
-        return y
+        return y  # f32 accumulation regardless of channel dtype
 
     def matvec(self, C, D, x):
         return jnp.einsum('ntu,nu->nt', D, x, precision=_HI) + \

@@ -150,6 +150,69 @@ def main():
         print(f'matvec inside fori_loop x100: {t/100*1e6:.1f} us/matvec',
               flush=True)
 
+        # bf16 channel variant: C and D in bf16 (halved HBM bytes), x and
+        # accumulation in f32 via preferred_element_type
+        states_bf = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), states)
+        accum_bf = {nm: accum[nm].astype(jnp.bfloat16)}
+
+        @jax.jit
+        def mv_loop_bf(states, accum, x):
+            def body(_, x):
+                xm = opt._mask(nm, x)
+                xb = xm.astype(jnp.bfloat16)
+                y = jnp.einsum('ntu,nu->nt', accum[nm], xb,
+                               preferred_element_type=jnp.float32)
+                for sp, st in zip(opt._spmv, states):
+                    y = y + sp.couple(st, xb).astype(jnp.float32)
+                return opt._mask(nm, y)
+            return jax.lax.fori_loop(0, 100, body, x[nm])
+
+        t = timeit(mv_loop_bf, states_bf, accum_bf, x0, iters=3)
+        print(f'bf16-channel matvec inside fori_loop x100: '
+              f'{t/100*1e6:.1f} us/matvec', flush=True)
+
+        # scalarized stencil matvec: flat [n_off, N, 36] channels, all
+        # row ops as [N]-vector columns (no ntu einsum at all)
+        sps = [sp for sp in opt._spmv
+               if type(sp).__name__ == 'StencilSpMV']
+        if len(sps) == len(opt._spmv):
+            t_ = 6
+            states_flat = [st.reshape(st.shape[0], st.shape[1], 36)
+                           for st in states]
+            Dflat = accum[nm].reshape(-1, 36)
+
+            @jax.jit
+            def mv_loop_cols(states_flat, Dflat, x):
+                def one(Cf, sp, xm):
+                    y = jnp.zeros_like(xm)
+                    for k, dd in enumerate(sp.offsets):
+                        xr = jnp.roll(xm, -dd, axis=0)
+                        fwd = [sum(Cf[k][:, ti * t_ + u] * xr[:, u]
+                                   for u in range(t_)) for ti in range(t_)]
+                        bck = [sum(Cf[k][:, ti * t_ + u] * xm[:, ti]
+                                   for ti in range(t_)) for u in range(t_)]
+                        y = y + jnp.stack(fwd, axis=-1) \
+                            + jnp.roll(jnp.stack(bck, axis=-1), dd, axis=0)
+                    return y
+
+                def body(_, x):
+                    xm = opt._mask(nm, x)
+                    y = jnp.stack(
+                        [sum(Dflat[:, ti * t_ + u] * xm[:, u]
+                             for u in range(t_)) for ti in range(t_)],
+                        axis=-1)
+                    for sp, Cf in zip(opt._spmv, states_flat):
+                        y = y + one(Cf, sp, xm)
+                    return opt._mask(nm, y)
+                return jax.lax.fori_loop(0, 100, body, x[nm])
+
+            t = timeit(mv_loop_cols, states_flat, Dflat, x0, iters=3)
+            print(f'scalarized-column matvec inside fori_loop x100: '
+                  f'{t/100*1e6:.1f} us/matvec '
+                  f'(offsets per factor: '
+                  f'{[list(sp.offsets) for sp in sps]})', flush=True)
+
     # compiled-buffer diagnostics: padded layouts show up as temp sizes
     # far above the logical bytes (CLAUDE.md: two-small-minor-dims trap)
     for name, fn, fargs in (
@@ -166,6 +229,74 @@ def main():
     # ---- stage: chi2 ----
     t = timeit(jax.jit(opt._chi2), params, fdata, iters=args.iters)
     print(f'chi2 (runs 2x per accepted step): {t*1e3:.2f} ms', flush=True)
+
+    # ---- stage: pred_reduction-equivalent + retract (body residue) ----
+    nm0 = list(params.keys())[0]
+    delta = {nm0: jnp.zeros_like(opt._rhs(blocks, fdata)[nm0])}
+
+    @jax.jit
+    def predred(blocks, fdata, delta):
+        total = 0.0
+        for fi2, (f, fd, (r, J, WR, WJ)) in enumerate(
+                zip(opt.factors, fdata, blocks)):
+            Jd = 0.0
+            for n in f.indices:
+                xg = opt._gather_rows(fi2, n, opt._mask(n, delta[n]),
+                                      fd['indices'][n])
+                Jd = Jd + jnp.einsum('edat,eat->ed', J[n], xg)
+            WJd = jnp.einsum('eij,ej->ei', jnp.broadcast_to(
+                fd['weight'], (r.shape[0],) + (r.shape[-1],) * 2
+            ), Jd) if fd['weight'] is not None else Jd
+            total = total + jnp.sum(WJd * (2.0 * r + Jd))
+        return -total
+
+    t = timeit(predred, blocks, fdata, delta, iters=args.iters)
+    print(f'pred_reduction: {t*1e3:.2f} ms', flush=True)
+
+    @jax.jit
+    def retract(p, delta):
+        out = {}
+        for n, v in p.items():
+            d = opt._mask(n, delta[n])
+            out[n] = v.add(d) if hasattr(v, 'add') else v + d
+        return out
+
+    t = timeit(retract, params, delta, iters=args.iters)
+    print(f'retract_all: {t*1e3:.2f} ms', flush=True)
+
+    # ---- one CG solve alone (damping fixed) to bound the CG share ----
+    if opt._spmv is not None:
+        from pypose_tpu.optim.sparse import _HI
+        diagA = {n: jnp.clip(v, opt.min, opt.max)
+                 for n, v in jax.jit(opt._diag)(blocks, fdata).items()}
+        bb = jax.jit(opt._rhs)(blocks, fdata)
+
+        @jax.jit
+        def one_solve(states, accum, bb, diagA):
+            damping = jnp.asarray(1e-4, jnp.float32)
+
+            def Avp(x):
+                xm = opt._mask(nm, x[nm])
+                y = jnp.einsum('ntu,nu->nt', accum[nm], xm)
+                for sp, st in zip(opt._spmv, states):
+                    y = y + sp.couple(st, xm)
+                return {nm: opt._mask(nm, y)
+                        + (damping * diagA[nm]) * opt._mask(nm, x[nm])}
+
+            from pypose_tpu.ops.smallinv import blockinv
+            damped = opt._damped_blocks(accum, {nm: 1.0 + damping})
+            Binv = blockinv(damped[nm])
+
+            def M(x):
+                return {nm: jnp.einsum('ntu,nu->nt', Binv, x[nm])}
+
+            x, _ = jax.scipy.sparse.linalg.cg(
+                Avp, bb, tol=opt.cg_tol, maxiter=args.cg_iter, M=M)
+            return x
+
+        t = timeit(one_solve, states, accum, bb, diagA, iters=3)
+        print(f'one full CG solve (maxiter={args.cg_iter}, '
+              f'tol={opt.cg_tol}): {t*1e3:.2f} ms', flush=True)
 
     # ---- full step ----
     @jax.jit
