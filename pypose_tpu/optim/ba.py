@@ -96,7 +96,7 @@ class BundleAdjustment:
                  residual=None, strategy=None, reject=16, min=1e-6,
                  max=1e32, cg_iter=50, cg_tol=1e-5, fix_first_pose=False,
                  kernel=None, schur='auto', schur_precision=None,
-                 schur_refine=2):
+                 schur_refine=3):
         self.poses, self.points = poses, jnp.asarray(points)
         self.cam_idx = jnp.asarray(cam_idx, jnp.int32)
         self.pt_idx = jnp.asarray(pt_idx, jnp.int32)
@@ -375,6 +375,20 @@ class BundleAdjustment:
                     S = S.at[:6, :].set(0.0).at[:, :6].set(0.0)
                     S = S.at[jnp.arange(6), jnp.arange(6)].set(1.0)
                 import jax.scipy.linalg as jsl
+                if self.schur_refine > 0 and \
+                        self.schur_precision != jax.lax.Precision.HIGHEST:
+                    # the bf16-formed S can lose positive-definiteness at
+                    # small damping (bf16 rounding ~4e-3 rel perturbs the
+                    # smallest eigenvalues): Cholesky -> NaN -> the step
+                    # is skipped and LM stalls until damping grows
+                    # (measured: synthetic trafalgar froze 5 steps at
+                    # chi2 2.57e8, tools/ba_stall_debug.py r3).  With
+                    # refinement the factor is only a PRECONDITIONER for
+                    # the exact-operator iteration, so boost its diagonal
+                    # for guaranteed PD; refinement restores accuracy.
+                    dS = jnp.diagonal(S)
+                    boost = 1e-2 * dS + 4e-3 * jnp.mean(dS)
+                    S = S + jnp.diag(boost)
                 cf = jsl.cho_factor(S)
                 dc = jsl.cho_solve(cf, bs.reshape(-1)).reshape(C, 6)
                 # iterative refinement against the EXACT operator recovers
