@@ -189,6 +189,11 @@ class IMUPreintegrator(Module):
                    + init_state['vel'] * integrate['Dt'],
         }
 
+    # chunk length for the covariance scan: frames beyond this run as a
+    # rolled lax.scan over chunks (the monolithic associative-scan tree
+    # on [B, F, 9, 9] at F=1e6 exceeds the remote compiler's limits)
+    COV_SCAN_CHUNK = 131072
+
     def propagate_cov(self, cov_input, init_cov, gyro_cov, acc_cov):
         """9x9 A/B recursion evaluated as one flipped cumprod + sum.
 
@@ -223,14 +228,48 @@ class IMUPreintegrator(Module):
 
         B_cov = (Bg @ Cg @ jnp.swapaxes(Bg, -1, -2)
                  + Ba @ Ca @ jnp.swapaxes(Ba, -1, -2)) / dt[..., None]
-        B_cov = jnp.concatenate([init_cov[:, None], B_cov], axis=1)
 
-        # out_j = A_j @ A_{j+1} @ ... @ A_F (flipped left-cumprod,
-        # imu_preintegrator.py:461-462), as an O(log F) associative scan
         import jax
-        A_flip = jnp.flip(A, axis=1)
-        scan = jax.lax.associative_scan(lambda a, b: b @ a, A_flip, axis=1)
-        A_left_cum = jnp.flip(scan, axis=1)
-        A_right_cum = jnp.swapaxes(A_left_cum, -1, -2)
-        cov = jnp.sum(A_left_cum @ B_cov @ A_right_cum, axis=1)
+
+        def cov_span(P0, A_core, B_core):
+            """Final P of the recursion P_j = A_j P_{j-1} A_j^T + B_j
+            over one span, via the flipped-cumprod closed form
+            (out_j = A_j @ ... @ A_end) as an O(log m) associative scan
+            (imu_preintegrator.py:461-462)."""
+            m = A_core.shape[1]
+            eye = jnp.broadcast_to(jnp.eye(9, dtype=dtype),
+                                   A_core.shape[:1] + (1, 9, 9))
+            A_ext = jnp.concatenate([A_core, eye], axis=1)
+            B_ext = jnp.concatenate([P0[:, None], B_core], axis=1)
+            A_flip = jnp.flip(A_ext, axis=1)
+            scan = jax.lax.associative_scan(lambda a, b: b @ a, A_flip,
+                                            axis=1)
+            A_left_cum = jnp.flip(scan, axis=1)
+            A_right_cum = jnp.swapaxes(A_left_cum, -1, -2)
+            return jnp.sum(A_left_cum @ B_ext @ A_right_cum, axis=1)
+
+        A_core = A[:, :-1]                      # [B, F, 9, 9]
+        M = self.COV_SCAN_CHUNK
+        if F <= M:
+            cov = cov_span(init_cov, A_core, B_cov)
+        else:
+            # the recursion is Markov in P, so long sequences run as a
+            # rolled lax.scan over chunks (carry = P), each chunk an
+            # O(log M) associative scan: the monolithic scan tree at
+            # F=1e6 exceeds the remote compile service's limits
+            pad = (-F) % M
+            eye = jnp.broadcast_to(jnp.eye(9, dtype=dtype),
+                                   (B, pad, 9, 9))
+            A_p = jnp.concatenate([A_core, eye], axis=1)
+            B_p = jnp.concatenate(
+                [B_cov, jnp.zeros((B, pad, 9, 9), dtype=dtype)], axis=1)
+            K = (F + pad) // M
+            A_ch = jnp.moveaxis(A_p.reshape(B, K, M, 9, 9), 1, 0)
+            B_ch = jnp.moveaxis(B_p.reshape(B, K, M, 9, 9), 1, 0)
+
+            def body(P, chunk):
+                Ak, Bk = chunk
+                return cov_span(P, Ak, Bk), None
+
+            cov, _ = jax.lax.scan(body, init_cov, (A_ch, B_ch))
         return {'cov': cov, 'Rij': cov_input['Rij'][..., -1:, :]}
