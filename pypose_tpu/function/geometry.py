@@ -189,19 +189,25 @@ def svdtf(source, target):
     """
     assert source.shape[-2] == target.shape[-2], \
         'The number of points N has to be the same for both point clouds.'
-    ctnsource = source.mean(axis=-2, keepdims=True)
-    ctntarget = target.mean(axis=-2, keepdims=True)
-    source = source - ctnsource
-    target = target - ctntarget
-    M = jnp.einsum('...Na,...Nb->...ab', target, source)
-    U, S, Vh = jnp.linalg.svd(M)
-    R = U @ Vh
-    # reflection fix: flip the last column of U where det(R) == -1
-    flip = jnp.abs(jnp.linalg.det(R) + 1) < 1e-6
-    R = jnp.where(flip[..., None, None], -R, R)
-    t = jnp.swapaxes(ctntarget, -1, -2) - R @ jnp.swapaxes(ctnsource, -1, -2)
-    T = jnp.concatenate([R, t], axis=-1)
-    return mat2SE3(T, check=False)
+    import jax
+    with jax.default_matmul_precision('float32'):
+        # Kabsch is precision-critical: DEFAULT f32 matmuls run as
+        # single-pass bf16 on TPU, degrading noiseless alignment from
+        # ~1e-7 to ~1e-2 pose error; these Grams are 3x3-tiny
+        ctnsource = source.mean(axis=-2, keepdims=True)
+        ctntarget = target.mean(axis=-2, keepdims=True)
+        source = source - ctnsource
+        target = target - ctntarget
+        M = jnp.einsum('...Na,...Nb->...ab', target, source)
+        U, S, Vh = jnp.linalg.svd(M)
+        R = U @ Vh
+        # reflection fix: flip the last column of U where det(R) == -1
+        flip = jnp.abs(jnp.linalg.det(R) + 1) < 1e-6
+        R = jnp.where(flip[..., None, None], -R, R)
+        t = jnp.swapaxes(ctntarget, -1, -2) \
+            - R @ jnp.swapaxes(ctnsource, -1, -2)
+        T = jnp.concatenate([R, t], axis=-1)
+        return mat2SE3(T, check=False)
 
 
 def svdstf(source, target, with_scale=True):
@@ -212,6 +218,12 @@ def svdstf(source, target, with_scale=True):
     assert source.shape[-2] == target.shape[-2], \
         'The number of points N has to be the same for both point clouds.'
     assert source.shape[-1] == 3 and target.shape[-1] == 3
+    import jax
+    with jax.default_matmul_precision('float32'):  # see svdtf
+        return _svdstf_inner(source, target, with_scale)
+
+
+def _svdstf_inner(source, target, with_scale):
     N, m = source.shape[-2:]
     ctnsource = source.mean(axis=-2, keepdims=True)
     ctntarget = target.mean(axis=-2, keepdims=True)

@@ -86,6 +86,15 @@ class EPnP(Module):
         return SE3(self._compiled(points, pixels, intrinsics))
 
     def _solve(self, points, pixels, intrinsics):
+        # EPnP's algebra (M^T M null space, barycentric inverse, control-
+        # point Grams) is precision-critical: TPU f32 matmuls at DEFAULT
+        # precision run as single-pass bf16 (CLAUDE.md), which degraded
+        # the noiseless batched solve from 7e-5 to 4e-2 median pose error
+        # (measured r3).  These matrices are tiny — HIGHEST costs nothing.
+        with jax.default_matmul_precision('float32'):
+            return self._solve_inner(points, pixels, intrinsics)
+
+    def _solve_inner(self, points, pixels, intrinsics):
         bases = self._svd_basis(points)
         alpha = self._compute_alpha(points, bases)
         nullv = self._compute_nullv(pixels, alpha, intrinsics)
