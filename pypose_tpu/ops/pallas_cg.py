@@ -128,6 +128,128 @@ def stencil_cg_transposed(b_T, A_T, Minv_T, C_T, offsets, t, maxiter,
     return x, it[0]
 
 
+def _tiled_mv_kernel(A_ref, C_ref, p_ref, pf_ref, q_ref, bk_ref, *,
+                     n_off, t):
+    """One node-tile of the stencil matvec, channels read ONCE.
+
+    q_partial = A p + sum_k C_k p_{+d_k}        (forward, local)
+    bk_k      = C_k^T p                          (back-product at source;
+                                                  caller rolls it by +d_k)
+    """
+    p = p_ref[:]
+    q = _block_mul(A_ref[:], p, t)
+    tt = t * t
+    for k in range(n_off):
+        Ck = C_ref[k * tt:(k + 1) * tt, :]
+        q = q + _block_mul(Ck, pf_ref[k * t:(k + 1) * t, :], t)
+        bk_ref[k * t:(k + 1) * t, :] = _block_mul(Ck, p, t, transpose=True)
+    q_ref[:] = q
+
+
+def _tiled_pc_kernel(Minv_ref, r_ref, z_ref, *, t):
+    z_ref[:] = _block_mul(Minv_ref[:], r_ref[:], t)
+
+
+def stencil_cg_tiled(b_T, A_T, Minv_T, C_T, offsets, t, maxiter, tol,
+                     tile=8192, interpret=False):
+    """PCG with HBM-streamed operands: per-iteration Pallas kernels tile
+    the [t, N] lane-major matvec and preconditioner through VMEM while
+    the CG state stays in fused XLA elementwise ops.
+
+    The whole-CG kernel (stencil_cg_transposed) needs all operands
+    VMEM-resident (~10 MB); past that this path streams A/Minv/C tiles
+    per iteration instead — the iteration floor is the channel-read
+    roofline.  Channels are read ONCE per matvec: the kernel emits the
+    forward partial plus per-offset back-products bk_k = C_k^T p, and
+    XLA deposits roll(bk_k, +d_k).  Rolls wrap at the unpadded node
+    count N; everything past it is zero-padded so padded lanes stay
+    exactly zero through the whole solve.
+
+    Args are the transposed operands of stencil_cg_transposed; returns
+    (x_T [t, N], iterations).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = int(t)
+    tt = t * t
+    n_off = len(offsets)
+    N = b_T.shape[1]
+    pad = (-N) % tile
+    Npad = N + pad
+    T = Npad // tile
+
+    def padN(a):
+        return jnp.pad(a, ((0, 0), (0, Npad - a.shape[1])))
+
+    b_p, A_p, Minv_p, C_p = (padN(a) for a in (b_T, A_T, Minv_T, C_T))
+
+    mv = pl.pallas_call(
+        functools.partial(_tiled_mv_kernel, n_off=n_off, t=t),
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((tt, tile), lambda j: (0, j)),
+            pl.BlockSpec((n_off * tt, tile), lambda j: (0, j)),
+            pl.BlockSpec((t, tile), lambda j: (0, j)),
+            pl.BlockSpec((n_off * t, tile), lambda j: (0, j)),
+        ],
+        out_specs=(pl.BlockSpec((t, tile), lambda j: (0, j)),
+                   pl.BlockSpec((n_off * t, tile), lambda j: (0, j))),
+        out_shape=(jax.ShapeDtypeStruct((t, Npad), b_T.dtype),
+                   jax.ShapeDtypeStruct((n_off * t, Npad), b_T.dtype)),
+        interpret=interpret,
+    )
+
+    pc = pl.pallas_call(
+        functools.partial(_tiled_pc_kernel, t=t),
+        grid=(T,),
+        in_specs=[pl.BlockSpec((tt, tile), lambda j: (0, j)),
+                  pl.BlockSpec((t, tile), lambda j: (0, j))],
+        out_specs=pl.BlockSpec((t, tile), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((t, Npad), b_T.dtype),
+        interpret=interpret,
+    )
+
+    def roll_n(v, d):
+        """Circular roll along lanes wrapping at N (not Npad)."""
+        core = jnp.roll(v[:, :N], d, axis=1)
+        return jnp.pad(core, ((0, 0), (0, Npad - N)))
+
+    def matvec(p):
+        pf = jnp.concatenate([roll_n(p, -d) for d in offsets], axis=0)
+        q, bk = mv(A_p, C_p, p, pf)
+        for k, d in enumerate(offsets):
+            q = q + roll_n(bk[k * t:(k + 1) * t, :], d)
+        return q
+
+    x0 = jnp.zeros_like(b_p)
+    r0 = b_p
+    z0 = pc(Minv_p, r0)
+    gamma0 = jnp.sum(r0 * z0)
+    tol2 = (tol * tol) * jnp.sum(b_p * b_p)
+
+    def cond(st):
+        x, r, z, p, gamma, it = st
+        return (it < maxiter) & (jnp.sum(r * r) > tol2)
+
+    def body(st):
+        x, r, z, p, gamma, it = st
+        Ap = matvec(p)
+        denom = jnp.sum(p * Ap)
+        alpha = gamma / jnp.where(denom == 0, 1e-31, denom)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = pc(Minv_p, r)
+        gamma_new = jnp.sum(r * z)
+        beta = gamma_new / jnp.where(gamma == 0, 1e-31, gamma)
+        p = z + beta * p
+        return (x, r, z, p, gamma_new, it + 1)
+
+    st = (x0, r0, z0, z0, gamma0, jnp.asarray(0, jnp.int32))
+    x, r, _, _, _, it = jax.lax.while_loop(cond, body, st)
+    return x[:, :N], it
+
+
 def stencil_cg_fits_vmem(N, t, n_off):
     """True when the whole-CG kernel's VMEM footprint fits the ~10 MB
     budget (operands b/A/Minv/C + ~5 state vectors + matvec temps).
@@ -157,16 +279,15 @@ def stencil_cg(b, Ablk, dcorr, Minv, C, offsets, fixed_mask=None,
     """
     N, t = b.shape
     n_off = C.shape[0]
-    # VMEM budget gate: the kernel keeps operands (b, A, Minv, C) plus
-    # ~5 CG state vectors and matvec temporaries resident in VMEM.
-    # Scoped VMEM is 16 MB on v5e; past ~10 MB estimated footprint the
-    # compile fails ("scoped vmem limit exceeded"), so fall back to the
-    # same CG in plain XLA (HBM-resident, still stencil-form matvec).
-    # NOTE: prefer checking stencil_cg_fits_vmem() and routing to an
-    # [N, t]-layout CG instead — the transposed fallback is ~9x slower
-    # per iteration at N=100k (SparseLM does this, optim/sparse.py).
-    if not stencil_cg_fits_vmem(N, t, n_off):
-        use_pallas = False
+    # VMEM budget gate: the whole-CG kernel keeps operands (b, A, Minv,
+    # C) plus ~5 CG state vectors and matvec temporaries resident in
+    # VMEM (scoped VMEM is 16 MB on v5e; past ~10 MB the compile fails
+    # "scoped vmem limit exceeded").  Oversize problems stream operand
+    # tiles per iteration instead (stencil_cg_tiled).  With Pallas
+    # unavailable the XLA fallback of the same algorithm runs — note its
+    # [t, N] _block_mul does not fuse (283 us/iter at N=1e5, CLAUDE.md);
+    # callers off-TPU should prefer their own [N, t] einsum CG.
+    tiled = use_pallas and not stencil_cg_fits_vmem(N, t, n_off)
     if fixed_mask is not None:
         m = (~jnp.asarray(fixed_mask)).astype(b.dtype)
         b = b * m[:, None]
@@ -187,8 +308,13 @@ def stencil_cg(b, Ablk, dcorr, Minv, C, offsets, fixed_mask=None,
     A_T = jnp.transpose(Ablk, (1, 2, 0)).reshape(t * t, N)
     Minv_T = jnp.transpose(Minv, (1, 2, 0)).reshape(t * t, N)
     C_T = jnp.transpose(C, (0, 2, 3, 1)).reshape(n_off * t * t, N)
-    x_T, it = stencil_cg_transposed(b_T, A_T, Minv_T, C_T,
-                                    tuple(int(d) for d in offsets), t,
-                                    int(maxiter), float(tol),
-                                    use_pallas=use_pallas)
+    if tiled:
+        x_T, it = stencil_cg_tiled(b_T, A_T, Minv_T, C_T,
+                                   tuple(int(d) for d in offsets), t,
+                                   int(maxiter), float(tol))
+    else:
+        x_T, it = stencil_cg_transposed(b_T, A_T, Minv_T, C_T,
+                                        tuple(int(d) for d in offsets), t,
+                                        int(maxiter), float(tol),
+                                        use_pallas=use_pallas)
     return x_T.T, it

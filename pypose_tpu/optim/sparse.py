@@ -643,17 +643,17 @@ class SparseLM:
             def raw_matvec(x):
                 return self._matvec(blocks, fdata, x)
 
-        # whole-CG Pallas kernel path: merged stencil channels + VMEM-
-        # resident solver (ops/pallas_cg.py); block-Jacobi only.  When the
-        # [t, N] kernel state would NOT fit scoped VMEM (~10 MB budget),
-        # route to the plain [N, t]-layout einsum CG below instead of
-        # stencil_cg's transposed XLA fallback: outside Pallas the t*t-
-        # slice _block_mul does not fuse and was measured at 283 us/iter
-        # + 38 ms fixed at N=100k vs ~30 us/iter for the einsum matvec
-        # (tools/matvec_prof.py --whole-cg, r3).
+        # whole-CG Pallas kernel path: merged stencil channels, solved by
+        # ops/pallas_cg.py (VMEM-resident whole-CG kernel when the [t, N]
+        # state fits the ~10 MB scoped budget; HBM-streamed tiled kernels
+        # past that); block-Jacobi only.  Off-TPU, oversize problems
+        # route to the plain [N, t]-layout einsum CG below instead —
+        # stencil_cg's transposed XLA fallback does not fuse its t*t-
+        # slice _block_mul (283 us/iter at N=1e5 vs ~30 us einsum,
+        # tools/matvec_prof.py r3).
         use_kernel = (self._stencil_all is not None
                       and self.precond != 'chain')
-        if use_kernel:
+        if use_kernel and jax.default_backend() != 'tpu':
             from ..ops.pallas_cg import stencil_cg_fits_vmem
             _nm = self._spmv_name
             _N, _t = b[_nm].shape

@@ -93,3 +93,27 @@ def test_stencil_cg_pallas_interpret_matches_xla():
     np.testing.assert_allclose(np.asarray(x_pl), np.asarray(x_ref),
                                rtol=1e-4, atol=1e-5)
     assert abs(int(it_pl) - int(it_ref)) <= 1
+
+
+def test_stencil_cg_tiled_matches_xla():
+    """The HBM-streamed tiled path (used past the whole-CG kernel's VMEM
+    budget) computes the same solution as the XLA fallback, including
+    non-divisible N (padding) and roll wraparound at N."""
+    from pypose_tpu.ops.pallas_cg import stencil_cg_tiled, _cg_body
+    sp, C, D, dcorr, Minv, b, _ = make_system(N=53, seed=5)
+    N, t = b.shape
+    n_off = len(sp.offsets)
+    eye = np.eye(t, dtype=np.float32)
+    Ablk = np.asarray(D) + np.asarray(dcorr)[..., None] * eye
+    A_T = jnp.asarray(np.transpose(Ablk, (1, 2, 0)).reshape(t * t, N))
+    Minv_T = jnp.asarray(np.transpose(Minv, (1, 2, 0)).reshape(t * t, N))
+    C_T = jnp.transpose(jnp.asarray(C), (0, 2, 3, 1)).reshape(
+        n_off * t * t, N)
+    b_T = jnp.asarray(b.T)
+    offs = tuple(sp.offsets)
+    x_ref, it_ref = _cg_body(A_T, Minv_T, C_T, b_T, offs, t, 200, 1e-7)
+    x_til, it_til = stencil_cg_tiled(b_T, A_T, Minv_T, C_T, offs, t, 200,
+                                     1e-7, tile=16, interpret=True)
+    np.testing.assert_allclose(np.asarray(x_til), np.asarray(x_ref),
+                               rtol=1e-4, atol=1e-5)
+    assert abs(int(it_til) - int(it_ref)) <= 1
