@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from .jacobian import coef_Jl_inv, coefQ2, coefQ3, sinc3
 
-__all__ = ['se3_pgo_blocks']
+__all__ = ['se3_pgo_blocks', 'bal_reproj_blocks']
 
 
 # ---------------------------------------------------------------------------
@@ -216,3 +216,77 @@ def se3_pgo_blocks(Xi, Xj, Z):
     Jj = jnp.stack(rows, axis=-2)                    # [E, 6, 6]
     J = jnp.stack([-Jj, Jj], axis=-2)                # [E, 6, 2, 6]
     return r, J
+
+
+def bal_reproj_blocks(Tc, Xp, cams, pix):
+    """Residual + closed-form tangent Jacobians for a batch of BAL
+    reprojection observations, all intermediates [O]-shaped.
+
+    Math (matches ``optim.ba.reproj_residual_bal``): with the camera
+    point ``Xc = R(q) X + t``, BAL projects ``p = -Xc_xy / Xc_z`` and
+    distorts radially, ``res = f (1 + k1 r2 + k2 r2^2) p - pix``.
+    Left-perturbation chain rule (``pose.add(eps) = Exp(eps) pose``):
+    ``dXc/d[tau, phi] = [I, -skew(Xc)]`` and ``dXc/dX = R(q)``.
+
+    Args:
+        Tc: [O, 7] SE3 storage of the observing cameras.
+        Xp: [O, 3] world points.
+        cams: [O, 3] BAL intrinsics (f, k1, k2).
+        pix: [O, 2] observed pixels.
+
+    Returns:
+        (r [O, 2], Jc [O, 2, 6], Jp [O, 2, 3]).
+    """
+    t = (Tc[..., 0], Tc[..., 1], Tc[..., 2])
+    q = (Tc[..., 3], Tc[..., 4], Tc[..., 5], Tc[..., 6])
+    X = (Xp[..., 0], Xp[..., 1], Xp[..., 2])
+    f, k1, k2 = cams[..., 0], cams[..., 1], cams[..., 2]
+
+    R = _quat2R(q)
+    RX = _mv3(R, X)
+    xc, yc, zc = (a + b for a, b in zip(RX, t))   # Xc = R X + t
+    iz = 1.0 / zc
+    px = -xc * iz
+    py = -yc * iz
+    r2 = px * px + py * py
+    dist = 1.0 + k1 * r2 + k2 * r2 * r2
+    rx = f * dist * px - pix[..., 0]
+    ry = f * dist * py - pix[..., 1]
+
+    # dres/dp = f [dist I + 2 (k1 + 2 k2 r2) p p^T]   (2x2)
+    g = 2.0 * (k1 + 2.0 * k2 * r2)
+    a00 = f * (dist + g * px * px)
+    a01 = f * (g * px * py)
+    a11 = f * (dist + g * py * py)
+
+    # dp/dXc = [[-iz, 0, -px*iz], [0, -iz, -py*iz]]   (2x3)
+    # (px = -xc/z  =>  dpx/dz = xc/z^2 = -px/z)
+    # Jpix = dres/dp @ dp/dXc                         (2x3)
+    b00 = -a00 * iz
+    b01 = -a01 * iz
+    b02 = -(a00 * px + a01 * py) * iz
+    b10 = -a01 * iz
+    b11 = -a11 * iz
+    b12 = -(a01 * px + a11 * py) * iz
+    Jpix = ((b00, b01, b02), (b10, b11, b12))
+
+    # Jc = Jpix @ [I | -skew(Xc)]  (2x6): translation part is Jpix itself,
+    # rotation part is Jpix @ (-skew(Xc))
+    Xc = (xc, yc, zc)
+    mskew = _mscale(-1.0, _skew(Xc))
+    rot0 = tuple(sum(Jpix[0][k] * mskew[k][j] for k in range(3))
+                 for j in range(3))
+    rot1 = tuple(sum(Jpix[1][k] * mskew[k][j] for k in range(3))
+                 for j in range(3))
+    Jc = jnp.stack([
+        jnp.stack(Jpix[0] + rot0, axis=-1),
+        jnp.stack(Jpix[1] + rot1, axis=-1)], axis=-2)        # [O, 2, 6]
+
+    # Jp = Jpix @ R   (2x3)
+    jp0 = tuple(sum(Jpix[0][k] * R[k][j] for k in range(3)) for j in range(3))
+    jp1 = tuple(sum(Jpix[1][k] * R[k][j] for k in range(3)) for j in range(3))
+    Jp = jnp.stack([jnp.stack(jp0, axis=-1),
+                    jnp.stack(jp1, axis=-1)], axis=-2)       # [O, 2, 3]
+
+    r = jnp.stack([rx, ry], axis=-1)
+    return r, Jc, Jp

@@ -31,6 +31,27 @@ from .strategy import TrustRegion
 from ..ops.smallinv import inv3x3, inv6x6, chol3x3
 
 
+def _gram_cols(A, B):
+    """``einsum('oda,odb->oab')`` built as stacked [O] columns.
+
+    The einsum form materializes an (8, 128)-padded [O, a, b] temp that
+    moves ~21x the logical bytes on TPU when a, b are small (same trap
+    as SparseLM's block contractions — tools/formation_prof.py, r3).
+    Python loops run over a*b <= 36, not O."""
+    O, d, a = A.shape
+    b = B.shape[2]
+    cols = [jnp.sum(A[:, :, i] * B[:, :, j], axis=1)
+            for i in range(a) for j in range(b)]
+    return jnp.stack(cols, axis=-1).reshape(O, a, b)
+
+
+def _vec_cols(A, r):
+    """``einsum('oda,od->oa')`` as stacked [O] columns (see _gram_cols)."""
+    a = A.shape[2]
+    cols = [jnp.sum(A[:, :, i] * r, axis=1) for i in range(a)]
+    return jnp.stack(cols, axis=-1)
+
+
 def reproj_residual_bal(pose, point, camera, pixel):
     """BAL convention reprojection residual for ONE observation.
 
@@ -209,10 +230,18 @@ class BundleAdjustment:
                     pt_inc=self._pt_inc, cam_inc=self._cam_inc)
 
     def _acc_cams(self, obs, contrib):
-        """[O, ...] -> [C, ...] camera-side accumulation."""
+        """[O, ...] -> [C, ...] camera-side accumulation.
+
+        Multi-dim tails are flattened around the gather/scatter: XLA
+        tiles the two minor dims to (8, 128), so a [C, D, 6, 6]
+        incidence gather moves ~21x the logical bytes (same trap as
+        SparseLM._accumulate — tools/formation_prof.py, r3)."""
+        tail = contrib.shape[1:]
+        if len(tail) > 1:
+            flat = self._acc_cams(obs, contrib.reshape(contrib.shape[0], -1))
+            return flat.reshape((self.C,) + tail)
         if obs['cam_inc'] is None:
-            out = jnp.zeros((self.C,) + contrib.shape[1:],
-                            dtype=contrib.dtype)
+            out = jnp.zeros((self.C,) + tail, dtype=contrib.dtype)
             return out.at[obs['cam_idx']].add(contrib)
         inc, mask = obs['cam_inc']
         gathered = contrib[inc]
@@ -221,10 +250,15 @@ class BundleAdjustment:
 
     def _acc_points(self, obs, contrib):
         """Sum per-observation contributions into per-point rows:
-        [O, ...] -> [P, ...]."""
+        [O, ...] -> [P, ...] (multi-dim tails flattened — see
+        _acc_cams)."""
+        tail = contrib.shape[1:]
+        if len(tail) > 1:
+            flat = self._acc_points(obs,
+                                    contrib.reshape(contrib.shape[0], -1))
+            return flat.reshape((self.P,) + tail)
         if obs['pt_inc'] is None:
-            out = jnp.zeros((self.P,) + contrib.shape[1:],
-                            dtype=contrib.dtype)
+            out = jnp.zeros((self.P,) + tail, dtype=contrib.dtype)
             return out.at[obs['pt_idx']].add(contrib)
         inc, mask = obs['pt_inc']
         gathered = contrib[inc]
@@ -234,12 +268,20 @@ class BundleAdjustment:
     # ------------------------------------------------------------------
     def _r_jac(self, obs, poses_data, points):
         """Residuals + per-observation tangent Jacobians Jc [O,2,6],
-        Jp [O,2,3] via vmapped jacrev.  (A closed-form chain-rule version
-        was measured SLOWER on TPU — 14.8 vs 10.5 ms at 226k obs: XLA's
-        fused AD graph beats hand-written small einsums + skew scatters;
-        same lesson as the SoA Pallas kernels, CLAUDE.md.)"""
+        Jp [O,2,3].
+
+        BAL residuals use the SCALARIZED closed form ([O]-vector
+        component algebra, lietensor/scalarized.py) — the AoS closed-form
+        chain rule measured SLOWER than jacrev (14.8 vs 10.5 ms at 226k
+        obs), but the scalarized form avoids both AD overhead and the
+        (8,128)-padded [O,3,3] temps both carry.  Custom residuals keep
+        the vmapped-jacrev fallback."""
         Tc = poses_data[obs['cam_idx']]
         Xp = points[obs['pt_idx']]
+
+        if self.residual is reproj_residual_bal:
+            from ..lietensor.scalarized import bal_reproj_blocks
+            return bal_reproj_blocks(Tc, Xp, obs['cameras'], obs['pixels'])
 
         def one(tc, xp, cam, pix):
             def f(eps_c, eps_p):
@@ -296,26 +338,24 @@ class BundleAdjustment:
         ci, pi = obs['cam_idx'], obs['pt_idx']
         C, P = self.C, self.P
 
-        # gradient blocks
-        bc = -self._acc_cams(obs, jnp.einsum('oda,od->oa', Jc, r,
-                                        precision=_HI))
-        bp = -self._acc_points(obs, jnp.einsum('oda,od->oa', Jp, r,
-                                          precision=_HI))
+        # gradient blocks (column-stacked contractions; the einsum forms
+        # materialize (8,128)-padded [O, a, b] temps — see _gram_cols)
+        bc = -self._acc_cams(obs, _vec_cols(Jc, r))
+        bp = -self._acc_points(obs, _vec_cols(Jp, r))
         bc = self._mask_cam(bc)
 
         # block-diagonal Hessians
-        Hcc = self._acc_cams(obs, jnp.einsum('oda,odb->oab', Jc, Jc,
-                                        precision=_HI))
-        Hpp = self._acc_points(obs, jnp.einsum('oda,odb->oab', Jp, Jp,
-                                          precision=_HI))
+        Hcc = self._acc_cams(obs, _gram_cols(Jc, Jc))
+        Hpp = self._acc_points(obs, _gram_cols(Jp, Jp))
 
         if self._use_dense_schur:
             # damping-invariant pieces of the dense reduced camera system,
             # hoisted out of the reject loop: per-observation camera-point
-            # coupling blocks gathered per point, and the camera one-hot
-            G = jnp.einsum('oda,odk->oak', Jc, Jp, precision=_HI)  # [O,6,3]
+            # coupling blocks gathered per point (FLAT [O, 18] layout
+            # through the incidence gather), and the camera one-hot
+            G18 = _gram_cols(Jc, Jp).reshape(-1, 18)               # [O,18]
             inc, incm = obs['pt_inc']
-            Gp = G[inc] * incm[..., None, None]                    # [P,D,6,3]
+            Gp18 = G18[inc] * incm[..., None]          # [P,D,18] (a*3+k)
             ohp = jax.nn.one_hot(ci[inc], C, dtype=Jc.dtype) \
                 * incm[..., None]                                  # [P,D,C]
 
@@ -359,10 +399,16 @@ class BundleAdjustment:
                 # 3/6 get lane-padded 128x on TPU (measured 34 GB blowup
                 # for the scatter form of Z).
                 L = chol3x3(Hpp_inv)                               # [P,3,3]
-                Yl = jnp.einsum('pkj,pdak->pdja', L, Gp,
-                                precision=_HI)                     # [P,D,3,6]
-                T1 = jnp.einsum('pdc,pdka->pkac', ohp, Yl,
-                                precision=_HI)                     # [P,3,6,C]
+                # Yl[p,d,j,a] = sum_k L[p,k,j] Gp[p,d,a,k], built as
+                # FLAT [P, D, 18] columns (m = j*6+a) — the einsum form
+                # materializes (8,128)-padded [P,D,3,6] temps
+                Yl18 = jnp.stack(
+                    [sum(L[:, k, j][:, None] * Gp18[:, :, a * 3 + k]
+                         for k in range(3))
+                     for j in range(3) for a in range(6)], axis=-1)
+                T1 = jnp.einsum('pdc,pdm->pmc', ohp, Yl18,
+                                precision=_HI).reshape(
+                    self.P, 3, 6, C)                               # [P,3,6,C]
                 M6 = jax.lax.dot_general(
                     T1, T1, (((0, 1), (0, 1)), ((), ())),
                     precision=self.schur_precision)                # [6,C,6,C]

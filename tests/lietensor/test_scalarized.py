@@ -71,3 +71,34 @@ def test_jacobian_finite_difference():
     # and J[:, :, 0] = -J[:, :, 1] for the left perturbation of Xi
     np.testing.assert_allclose(np.asarray(J[:, :, 0]),
                                np.asarray(-J[:, :, 1]), rtol=0, atol=0)
+
+
+def test_bal_reproj_blocks_match_jacrev():
+    """Scalarized BAL reprojection blocks == vmapped jacrev of the
+    residual (values, camera Jacobian, point Jacobian)."""
+    from pypose_tpu.datasets import synthetic_bal
+    from pypose_tpu.optim.ba import reproj_residual_bal
+    from pypose_tpu.lietensor.scalarized import bal_reproj_blocks
+
+    ds = synthetic_bal(n_cams=6, n_points=80, obs_per_point=3, seed=7)
+    Tc = ds['poses'].tensor()[ds['cam_idx']]
+    Xp = ds['points'][ds['pt_idx']]
+    cams = ds['cameras']
+    if cams.shape[0] == ds['poses'].lshape[0]:
+        cams = cams[ds['cam_idx']]
+
+    def one(tc, xp, cam, pix):
+        def f(ec, ep):
+            return reproj_residual_bal(pp.SE3(tc).add(ec), xp + ep,
+                                       cam, pix)
+        z6 = jnp.zeros(6, tc.dtype)
+        z3 = jnp.zeros(3, tc.dtype)
+        r = f(z6, z3)
+        Jc, Jp = jax.jacrev(f, argnums=(0, 1))(z6, z3)
+        return r, Jc, Jp
+
+    r_ref, Jc_ref, Jp_ref = jax.vmap(one)(Tc, Xp, cams, ds['pixels'])
+    r_s, Jc_s, Jp_s = bal_reproj_blocks(Tc, Xp, cams, ds['pixels'])
+    for a, b in ((r_s, r_ref), (Jc_s, Jc_ref), (Jp_s, Jp_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
