@@ -52,6 +52,13 @@ def _vec_cols(A, r):
     return jnp.stack(cols, axis=-1)
 
 
+def _mv_cols(A, x):
+    """``einsum('oda,oa->od')`` as stacked [O] columns (see _gram_cols)."""
+    d = A.shape[1]
+    cols = [jnp.sum(A[:, i, :] * x, axis=1) for i in range(d)]
+    return jnp.stack(cols, axis=-1)
+
+
 def reproj_residual_bal(pose, point, camera, pixel):
     """BAL convention reprojection residual for ONE observation.
 
@@ -373,22 +380,20 @@ class BundleAdjustment:
 
             # Schur rhs: bs = bc - Hcp Hpp^-1 bp
             y = jnp.einsum('pab,pb->pa', Hpp_inv, bp, precision=_HI)        # [P, 3]
-            JpY = jnp.einsum('oda,oa->od', Jp, y[pi], precision=_HI)        # [O, 2]
-            bs = bc - self._mask_cam(self._acc_cams(obs,
-                jnp.einsum('oda,od->oa', Jc, JpY, precision=_HI)))
+            JpY = _mv_cols(Jp, y[pi])                                       # [O, 2]
+            bs = bc - self._mask_cam(self._acc_cams(obs, _vec_cols(Jc, JpY)))
 
             def Svp(x):
                 x = self._mask_cam(x)
                 # Hcc x (diag blocks + damping already inside Hcc_d)
                 hx = jnp.einsum('cab,cb->ca', Hcc_d, x, precision=_HI)
                 # Hpc x accumulated at points
-                Jcx = jnp.einsum('oda,oa->od', Jc, x[ci], precision=_HI)    # [O, 2]
+                Jcx = _mv_cols(Jc, x[ci])                                   # [O, 2]
                 w = self._acc_points(obs, jnp.einsum(
                     'oda,od->oa', Jp, Jcx, precision=_HI))   # Hpc x
                 w = jnp.einsum('pab,pb->pa', Hpp_inv, w, precision=_HI)     # Hpp^-1 Hpc x
-                JpW = jnp.einsum('oda,oa->od', Jp, w[pi], precision=_HI)
-                hx = hx - self._acc_cams(obs,
-                    jnp.einsum('oda,od->oa', Jc, JpW, precision=_HI))
+                JpW = _mv_cols(Jp, w[pi])
+                hx = hx - self._acc_cams(obs, _vec_cols(Jc, JpW))
                 return self._mask_cam(hx)
 
             if self._use_dense_schur:
@@ -444,7 +449,7 @@ class BundleAdjustment:
                     dc = dc + jsl.cho_solve(
                         cf, resid.reshape(-1)).reshape(C, 6)
                 dc = self._mask_cam(dc)
-                Jcdc = jnp.einsum('oda,oa->od', Jc, dc[ci], precision=_HI)
+                Jcdc = _mv_cols(Jc, dc[ci])
                 Hpcdc = self._acc_points(obs, jnp.einsum(
                     'oda,od->oa', Jp, Jcdc, precision=_HI))
                 dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc,
@@ -462,15 +467,14 @@ class BundleAdjustment:
                 Svp, bs, tol=self.cg_tol, maxiter=self.cg_iter, M=M)
             dc = self._mask_cam(dc)
             # back-substitute points: dp = Hpp^-1 (bp - Hpc dc)
-            Jcdc = jnp.einsum('oda,oa->od', Jc, dc[ci], precision=_HI)
+            Jcdc = _mv_cols(Jc, dc[ci])
             Hpcdc = self._acc_points(obs, jnp.einsum(
                 'oda,od->oa', Jp, Jcdc, precision=_HI))
             dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc, precision=_HI)
             return dc, dp
 
         def pred_reduction(dc, dp):
-            Jd = jnp.einsum('oda,oa->od', Jc, dc[ci], precision=_HI) + \
-                jnp.einsum('oda,oa->od', Jp, dp[pi], precision=_HI)
+            Jd = _mv_cols(Jc, dc[ci]) + _mv_cols(Jp, dp[pi])
             return -jnp.sum(Jd * (2.0 * r + Jd))
 
         def cond(state):

@@ -716,7 +716,9 @@ class SparseLM:
             return out
 
         def pred_reduction(blocks_, delta, WRs):
-            """-(JD)^T W (2R + JD) accumulated per factor."""
+            """-(JD)^T W (2R + JD) accumulated per factor (column-
+            stacked contractions — the einsum forms materialize
+            (8,128)-padded [E, d, a, t] broadcast temps)."""
             total = 0.0
             for fi2, (f, fd, (r, J, WR, WJ)) in enumerate(
                     zip(self.factors, fdata, blocks_)):
@@ -724,7 +726,14 @@ class SparseLM:
                 for n in f.indices:
                     xg = self._gather_rows(fi2, n, self._mask(n, delta[n]),
                                            fd['indices'][n])
-                    Jd = Jd + jnp.einsum('edat,eat->ed', J[n], xg, precision=_HI)
+                    d_ = J[n].shape[1]
+                    if d_ <= 8:
+                        Jd = Jd + jnp.stack(
+                            [jnp.sum(J[n][:, i] * xg, axis=(1, 2))
+                             for i in range(d_)], axis=-1)
+                    else:
+                        Jd = Jd + jnp.einsum('edat,eat->ed', J[n], xg,
+                                             precision=_HI)
                 WJd = jnp.einsum('eij,ej->ei', jnp.broadcast_to(
                     fd['weight'], (r.shape[0],) + (r.shape[-1],) * 2
                 ), Jd) if fd['weight'] is not None else Jd
