@@ -653,12 +653,21 @@ class SparseLM:
         # tools/matvec_prof.py r3).
         use_kernel = (self._stencil_all is not None
                       and self.precond != 'chain')
-        if use_kernel and jax.default_backend() != 'tpu':
+        if use_kernel:
             from ..ops.pallas_cg import stencil_cg_fits_vmem
             _nm = self._spmv_name
             _N, _t = b[_nm].shape
-            use_kernel = stencil_cg_fits_vmem(
+            fits = stencil_cg_fits_vmem(
                 _N, _t, len(self._stencil_all.offsets))
+            if jax.default_backend() == 'tpu':
+                # oversize problems route to stencil_cg's HBM-streamed
+                # tiled kernels when enabled; default stays the einsum
+                # CG until the tiled path is validated on real hardware
+                # (set PPT_TILED_CG=1 to opt in)
+                import os
+                use_kernel = fits or os.environ.get('PPT_TILED_CG') == '1'
+            else:
+                use_kernel = fits
         if use_kernel:
             nm = self._spmv_name
             C_all = self._stencil_all.precompute_multi(
