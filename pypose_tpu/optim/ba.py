@@ -379,7 +379,7 @@ class BundleAdjustment:
             Hpp_inv = inv3x3(Hpp_d)
 
             # Schur rhs: bs = bc - Hcp Hpp^-1 bp
-            y = jnp.einsum('pab,pb->pa', Hpp_inv, bp, precision=_HI)        # [P, 3]
+            y = _mv_cols(Hpp_inv, bp)                                       # [P, 3]
             JpY = _mv_cols(Jp, y[pi])                                       # [O, 2]
             bs = bc - self._mask_cam(self._acc_cams(obs, _vec_cols(Jc, JpY)))
 
@@ -391,7 +391,7 @@ class BundleAdjustment:
                 Jcx = _mv_cols(Jc, x[ci])                                   # [O, 2]
                 w = self._acc_points(obs, jnp.einsum(
                     'oda,od->oa', Jp, Jcx, precision=_HI))   # Hpc x
-                w = jnp.einsum('pab,pb->pa', Hpp_inv, w, precision=_HI)     # Hpp^-1 Hpc x
+                w = _mv_cols(Hpp_inv, w)                                    # Hpp^-1 Hpc x
                 JpW = _mv_cols(Jp, w[pi])
                 hx = hx - self._acc_cams(obs, _vec_cols(Jc, JpW))
                 return self._mask_cam(hx)
@@ -452,8 +452,7 @@ class BundleAdjustment:
                 Jcdc = _mv_cols(Jc, dc[ci])
                 Hpcdc = self._acc_points(obs, jnp.einsum(
                     'oda,od->oa', Jp, Jcdc, precision=_HI))
-                dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc,
-                                precision=_HI)
+                dp = _mv_cols(Hpp_inv, bp - Hpcdc)
                 return dc, dp
 
             Minv = inv6x6(Hcc_d)
@@ -470,7 +469,7 @@ class BundleAdjustment:
             Jcdc = _mv_cols(Jc, dc[ci])
             Hpcdc = self._acc_points(obs, jnp.einsum(
                 'oda,od->oa', Jp, Jcdc, precision=_HI))
-            dp = jnp.einsum('pab,pb->pa', Hpp_inv, bp - Hpcdc, precision=_HI)
+            dp = _mv_cols(Hpp_inv, bp - Hpcdc)
             return dc, dp
 
         def pred_reduction(dc, dp):
