@@ -137,7 +137,7 @@ class IMUPreintegrator(Module):
                 'Rij': LieTensor(sg(Rij.tensor()), ltype=Rij.ltype),
                 'Rk': LieTensor(sg(inte_state['w'].tensor()),
                                 ltype=inte_state['w'].ltype),
-                'Ha': vec2skew(sg(inte_state['a'])),
+                'a': sg(inte_state['a']),
                 'dt': sg(dt)}
             cov = self.propagate_cov(cov_input, init_cov, gyro_cov, acc_cov)
         else:
@@ -197,79 +197,141 @@ class IMUPreintegrator(Module):
     def propagate_cov(self, cov_input, init_cov, gyro_cov, acc_cov):
         """9x9 A/B recursion evaluated as one flipped cumprod + sum.
 
+        COLUMN form: every 9x9 matrix batch lives as [B, F, 81] (81 lane
+        columns) and products are stacked column sums — the [B, F, 9, 9]
+        matmul form tiles the (9, 9) minors to (16, 128) and moves ~22x
+        the logical bytes through HBM on TPU at every scan level
+        (the same trap as the sparse-LM block contractions,
+        tools/formation_prof.py r3).
+
         Ref: imu_preintegrator.py:429-465.
         """
+        import jax
+        from ..lietensor.scalarized import _quat2R, _skew, _mm3, _mscale
+        from ..lietensor.jacobian import cosc, sinc3
+
         B, F = cov_input['dt'].shape[:2]
         dtype = cov_input['dt'].dtype
-        Cg = jnp.zeros((B, F, 3, 3), dtype=dtype) + \
-            gyro_cov[..., None] * jnp.eye(3, dtype=dtype)
-        Ca = jnp.zeros((B, F, 3, 3), dtype=dtype) + \
-            acc_cov[..., None] * jnp.eye(3, dtype=dtype)
-        dt = cov_input['dt']
-        Rij = cov_input['Rij'].matrix()
-        Rk = cov_input['Rk']
-        Ha = cov_input['Ha']
+        dtf = cov_input['dt'][..., 0]                          # [B, F]
+        qij = tuple(cov_input['Rij'].tensor()[..., k] for k in range(4))
+        qk = tuple(cov_input['Rk'].tensor()[..., k] for k in range(4))
+        av = tuple(cov_input['a'][..., k] for k in range(3))
+        zero = jnp.zeros_like(dtf)
+        one = jnp.ones_like(dtf)
 
-        A = jnp.broadcast_to(jnp.eye(9, dtype=dtype),
-                             (B, F + 1, 9, 9)).copy()
-        A = A.at[:, :-1, 0:3, 0:3].set(jnp.swapaxes(Rk.matrix(), -1, -2))
-        A = A.at[:, :-1, 3:6, 0:3].set(
-            (-Rij @ Ha) * dt[..., None])
-        A = A.at[:, :-1, 6:9, 0:3].set(
-            (-0.5 * Rij @ Ha) * (dt ** 2)[..., None])
-        A = A.at[:, :-1, 6:9, 3:6].set(
-            jnp.eye(3, dtype=dtype) * dt[..., None])
+        Rij = _quat2R(qij)
+        Rkm = _quat2R(qk)
+        RH = _mscale(-1.0, _mm3(Rij, _skew(av)))               # -Rij Ha
 
-        Bg = jnp.zeros((B, F, 9, 3), dtype=dtype)
-        Ba = jnp.zeros((B, F, 9, 3), dtype=dtype)
-        Bg = Bg.at[..., 0:3, 0:3].set(Rk.Jr() * dt[..., None])
-        Ba = Ba.at[..., 3:6, 0:3].set(Rij * dt[..., None])
-        Ba = Ba.at[..., 6:9, 0:3].set(0.5 * Rij * (dt ** 2)[..., None])
+        # Jr(Rk) = Jl(-Log(Rk)) = I - cosc K + sinc3 K^2, K = skew(phi)
+        from ..lietensor.scalarized import _so3_log
+        phi = _so3_log(qk)
+        theta = jnp.sqrt(jnp.maximum(
+            phi[0] ** 2 + phi[1] ** 2 + phi[2] ** 2, 1e-36))
+        K = _skew(phi)
+        K2 = _mm3(K, K)
+        c1, c2 = cosc(theta), sinc3(theta)
+        Jr = tuple(tuple(
+            (one if i == j else zero) - c1 * K[i][j] + c2 * K2[i][j]
+            for j in range(3)) for i in range(3))
 
-        B_cov = (Bg @ Cg @ jnp.swapaxes(Bg, -1, -2)
-                 + Ba @ Ca @ jnp.swapaxes(Ba, -1, -2)) / dt[..., None]
+        gc = tuple(gyro_cov[..., k] for k in range(3))   # [B,1] or [B,F]
+        ac = tuple(acc_cov[..., k] for k in range(3))
+        # B_cov blocks (already divided by dt):
+        #   (0,0) = dt * Jr diag(gc) Jr^T
+        #   (1,1) = dt * W, (1,2) = (2,1) = dt^2/2 * W, (2,2) = dt^3/4 * W
+        #   with W = Rij diag(ac) Rij^T
+        JCJ = tuple(tuple(sum(Jr[i][k] * gc[k] * Jr[j][k] for k in range(3))
+                          for j in range(3)) for i in range(3))
+        W = tuple(tuple(sum(Rij[i][k] * ac[k] * Rij[j][k] for k in range(3))
+                        for j in range(3)) for i in range(3))
 
-        import jax
+        def bgrid(i, j):
+            bi, bj = i // 3, j // 3
+            i2, j2 = i % 3, j % 3
+            if bi == 0 and bj == 0:
+                return dtf * JCJ[i2][j2]
+            if bi == 1 and bj == 1:
+                return dtf * W[i2][j2]
+            if (bi, bj) in ((1, 2), (2, 1)):
+                return 0.5 * dtf ** 2 * W[i2][j2]
+            if bi == 2 and bj == 2:
+                return 0.25 * dtf ** 3 * W[i2][j2]
+            return zero
+
+        def agrid(i, j):
+            bi, bj = i // 3, j // 3
+            i2, j2 = i % 3, j % 3
+            if bi == 0:
+                return Rkm[j2][i2] if bj == 0 else zero   # Rk^T
+            if bi == 1:
+                if bj == 0:
+                    return RH[i2][j2] * dtf
+                if bj == 1:
+                    return one if i2 == j2 else zero
+                return zero
+            if bj == 0:
+                return 0.5 * RH[i2][j2] * dtf ** 2
+            if bj == 1:
+                return dtf if i2 == j2 else zero
+            return one if i2 == j2 else zero
+
+        A81 = jnp.stack([agrid(i, j) for i in range(9) for j in range(9)],
+                        axis=-1)                              # [B, F, 81]
+        B81 = jnp.stack([bgrid(i, j) for i in range(9) for j in range(9)],
+                        axis=-1)
+        eye81 = jnp.stack(
+            [one[:, :1] if i == j else zero[:, :1]
+             for i in range(9) for j in range(9)], axis=-1)   # [B, 1, 81]
+        P0c = init_cov.astype(dtype).reshape(B, 81)
+
+        def mm9(X, Y):
+            """Row-major 9x9 column matmul X @ Y on [..., 81]."""
+            return jnp.stack(
+                [sum(X[..., i * 9 + k] * Y[..., k * 9 + j]
+                     for k in range(9))
+                 for i in range(9) for j in range(9)], axis=-1)
 
         def cov_span(P0, A_core, B_core):
             """Final P of the recursion P_j = A_j P_{j-1} A_j^T + B_j
             over one span, via the flipped-cumprod closed form
             (out_j = A_j @ ... @ A_end) as an O(log m) associative scan
             (imu_preintegrator.py:461-462)."""
-            m = A_core.shape[1]
-            eye = jnp.broadcast_to(jnp.eye(9, dtype=dtype),
-                                   A_core.shape[:1] + (1, 9, 9))
-            A_ext = jnp.concatenate([A_core, eye], axis=1)
+            A_ext = jnp.concatenate(
+                [A_core, jnp.broadcast_to(eye81, (B, 1, 81))], axis=1)
             B_ext = jnp.concatenate([P0[:, None], B_core], axis=1)
             A_flip = jnp.flip(A_ext, axis=1)
-            scan = jax.lax.associative_scan(lambda a, b: b @ a, A_flip,
+            scan = jax.lax.associative_scan(lambda a, b: mm9(b, a), A_flip,
                                             axis=1)
-            A_left_cum = jnp.flip(scan, axis=1)
-            A_right_cum = jnp.swapaxes(A_left_cum, -1, -2)
-            return jnp.sum(A_left_cum @ B_ext @ A_right_cum, axis=1)
+            A_left = jnp.flip(scan, axis=1)
+            tmp = mm9(A_left, B_ext)
+            # out[i][j] = sum_frames sum_l tmp[i,l] A_left[j,l]
+            return jnp.stack(
+                [jnp.sum(sum(tmp[..., i * 9 + l] * A_left[..., j * 9 + l]
+                             for l in range(9)), axis=1)
+                 for i in range(9) for j in range(9)], axis=-1)   # [B, 81]
 
-        A_core = A[:, :-1]                      # [B, F, 9, 9]
         M = self.COV_SCAN_CHUNK
         if F <= M:
-            cov = cov_span(init_cov, A_core, B_cov)
+            covc = cov_span(P0c, A81, B81)
         else:
             # the recursion is Markov in P, so long sequences run as a
             # rolled lax.scan over chunks (carry = P), each chunk an
             # O(log M) associative scan: the monolithic scan tree at
             # F=1e6 exceeds the remote compile service's limits
             pad = (-F) % M
-            eye = jnp.broadcast_to(jnp.eye(9, dtype=dtype),
-                                   (B, pad, 9, 9))
-            A_p = jnp.concatenate([A_core, eye], axis=1)
+            A_p = jnp.concatenate(
+                [A81, jnp.broadcast_to(eye81, (B, pad, 81))], axis=1)
             B_p = jnp.concatenate(
-                [B_cov, jnp.zeros((B, pad, 9, 9), dtype=dtype)], axis=1)
-            K = (F + pad) // M
-            A_ch = jnp.moveaxis(A_p.reshape(B, K, M, 9, 9), 1, 0)
-            B_ch = jnp.moveaxis(B_p.reshape(B, K, M, 9, 9), 1, 0)
+                [B81, jnp.zeros((B, pad, 81), dtype=dtype)], axis=1)
+            K_ = (F + pad) // M
+            A_ch = jnp.moveaxis(A_p.reshape(B, K_, M, 81), 1, 0)
+            B_ch = jnp.moveaxis(B_p.reshape(B, K_, M, 81), 1, 0)
 
             def body(P, chunk):
                 Ak, Bk = chunk
                 return cov_span(P, Ak, Bk), None
 
-            cov, _ = jax.lax.scan(body, init_cov, (A_ch, B_ch))
+            covc, _ = jax.lax.scan(body, P0c, (A_ch, B_ch))
+        cov = covc.reshape(B, 9, 9)
         return {'cov': cov, 'Rij': cov_input['Rij'][..., -1:, :]}
