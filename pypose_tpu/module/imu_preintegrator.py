@@ -11,7 +11,6 @@ import jax.numpy as jnp
 from ..nn import Module
 from ..basics.ops import cumprod
 from ..lietensor.lietensor import LieTensor
-from ..lietensor.basics import vec2skew
 from ..lietensor.utils import identity_SO3, so3
 
 
