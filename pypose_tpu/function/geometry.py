@@ -146,6 +146,13 @@ def _knn_tiled(ref, nbr, k, largest, chunk):
     a neighbor ranking unless true distances differ by less — acceptable
     for association (ICP); use the dense path for exactness."""
     R, N = ref.shape[0], nbr.shape[0]
+    if k == 1 and not largest and jax.default_backend() == 'tpu':
+        # fused Pallas kernel: the distance tiles never touch HBM
+        # (the lax.map path below materializes R x N x 4 bytes per call
+        # — 40 GB at 100k x 100k; ops/pallas_knn.py)
+        from ..ops.pallas_knn import nn1
+        d2, idx = nn1(ref, nbr)
+        return KNNResult(jnp.sqrt(d2)[:, None], idx[:, None])
     pad = (-R) % chunk
     refp = jnp.pad(ref, ((0, pad), (0, 0)))
     tiles = refp.reshape(-1, chunk, ref.shape[-1])

@@ -117,3 +117,18 @@ def test_stencil_cg_tiled_matches_xla():
     np.testing.assert_allclose(np.asarray(x_til), np.asarray(x_ref),
                                rtol=1e-4, atol=1e-5)
     assert abs(int(it_til) - int(it_ref)) <= 1
+
+
+def test_pallas_nn1_matches_bruteforce():
+    """Fused nearest-neighbor kernel (interpret mode) == dense argmin,
+    including non-divisible shapes (ref and nbr padding)."""
+    from pypose_tpu.ops.pallas_knn import nn1
+    rng = np.random.default_rng(4)
+    ref = jnp.asarray(rng.normal(size=(333, 3)), jnp.float32)
+    nbr = jnp.asarray(rng.normal(size=(777, 3)), jnp.float32)
+    d2, idx = nn1(ref, nbr, tr=64, tn=128, interpret=True)
+    D = np.linalg.norm(np.asarray(ref)[:, None] - np.asarray(nbr)[None],
+                       axis=-1)
+    assert (np.asarray(idx) == D.argmin(1)).mean() > 0.999
+    np.testing.assert_allclose(np.sqrt(np.asarray(d2)), D.min(1),
+                               atol=1e-3)
