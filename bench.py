@@ -692,7 +692,10 @@ def _watchdog_main():
     import threading
 
     WEDGE_S = 300.0
-    for attempt in range(3):
+    # r3: the tunnel can wedge repeatedly for a long stretch (hours of
+    # back-to-back backend-init hangs observed); keep retrying — each
+    # attempt is cheap and a recovered tunnel completes in ~25 min
+    for attempt in range(8):
         env = dict(os.environ, PPT_BENCH_CHILD='1')
         proc = subprocess.Popen([sys.executable, '-u', __file__],
                                 stdout=subprocess.PIPE,
@@ -724,7 +727,7 @@ def _watchdog_main():
             t_out.join(timeout=10)
             sys.exit(proc.returncode)
         time.sleep(3.0)
-    log('[watchdog] giving up after 3 wedged attempts; running inline')
+    log('[watchdog] giving up after 8 wedged attempts; running inline')
     main()
 
 
