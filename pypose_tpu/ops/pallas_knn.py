@@ -28,20 +28,23 @@ def _knn1_kernel(ref_ref, nbr_ref, refsq_ref, nbrsq_ref, val_ref, idx_ref,
     cross = jnp.zeros((r.shape[0], n.shape[0]), r.dtype)
     for c in range(r.shape[1]):
         cross = cross + r[:, c][:, None] * n[:, c][None, :]
-    d2 = refsq_ref[:][:, None] + nbrsq_ref[:][None, :] - 2.0 * cross
+    # row vectors travel as [1, T] blocks (a bare (T,) block requires
+    # T % 1024 == 0 to match XLA's 1-D T(1024) tiling — measured Mosaic
+    # layout-verification failure at tr=512 on a real chip)
+    d2 = refsq_ref[0][:, None] + nbrsq_ref[0][None, :] - 2.0 * cross
     local_val = jnp.min(d2, axis=1)
     local_idx = (jnp.argmin(d2, axis=1) + j * tn).astype(jnp.int32)
 
     @pl.when(j == 0)
     def _():
-        val_ref[:] = local_val
-        idx_ref[:] = local_idx
+        val_ref[0, :] = local_val
+        idx_ref[0, :] = local_idx
 
     @pl.when(j > 0)
     def _():
-        better = local_val < val_ref[:]
-        val_ref[:] = jnp.where(better, local_val, val_ref[:])
-        idx_ref[:] = jnp.where(better, local_idx, idx_ref[:])
+        better = local_val < val_ref[0, :]
+        val_ref[0, :] = jnp.where(better, local_val, val_ref[0, :])
+        idx_ref[0, :] = jnp.where(better, local_idx, idx_ref[0, :])
 
 
 def nn1(ref, nbr, tr=512, tn=2048, interpret=False):
@@ -57,11 +60,11 @@ def nn1(ref, nbr, tr=512, tn=2048, interpret=False):
     padn = (-N) % tn
     refp = jnp.pad(ref, ((0, padr), (0, 0)))
     nbrp = jnp.pad(nbr, ((0, padn), (0, 0)))
-    refsq = jnp.sum(refp * refp, axis=-1)
-    nbrsq = jnp.sum(nbrp * nbrp, axis=-1)
+    refsq = jnp.sum(refp * refp, axis=-1)[None, :]    # [1, Rp]
+    nbrsq = jnp.sum(nbrp * nbrp, axis=-1)[None, :]    # [1, Np]
     if padn:
         # padded neighbor rows must never win
-        nbrsq = nbrsq.at[N:].set(jnp.inf)
+        nbrsq = nbrsq.at[0, N:].set(jnp.inf)
     Rp, Np = R + padr, N + padn
 
     val, idx = pl.pallas_call(
@@ -70,13 +73,13 @@ def nn1(ref, nbr, tr=512, tn=2048, interpret=False):
         in_specs=[
             pl.BlockSpec((tr, D), lambda i, j: (i, 0)),
             pl.BlockSpec((tn, D), lambda i, j: (j, 0)),
-            pl.BlockSpec((tr,), lambda i, j: (i,)),
-            pl.BlockSpec((tn,), lambda i, j: (j,)),
+            pl.BlockSpec((1, tr), lambda i, j: (0, i)),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j)),
         ],
-        out_specs=(pl.BlockSpec((tr,), lambda i, j: (i,)),
-                   pl.BlockSpec((tr,), lambda i, j: (i,))),
-        out_shape=(jax.ShapeDtypeStruct((Rp,), ref.dtype),
-                   jax.ShapeDtypeStruct((Rp,), jnp.int32)),
+        out_specs=(pl.BlockSpec((1, tr), lambda i, j: (0, i)),
+                   pl.BlockSpec((1, tr), lambda i, j: (0, i))),
+        out_shape=(jax.ShapeDtypeStruct((1, Rp), ref.dtype),
+                   jax.ShapeDtypeStruct((1, Rp), jnp.int32)),
         interpret=interpret,
     )(refp, nbrp, refsq, nbrsq)
-    return jnp.maximum(val[:R], 0.0), idx[:R]
+    return jnp.maximum(val[0, :R], 0.0), idx[0, :R]
