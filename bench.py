@@ -18,6 +18,37 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def sync_get(out):
+    """Force REAL completion of every enqueued program.
+
+    Through the remote-TPU tunnel, jax.block_until_ready RETURNS BEFORE
+    EXECUTION (measured r3: 8 calls of a 1.4 s program each "blocked" in
+    ~0.1 ms until a device_get drained the queue) — block-only timing
+    measures dispatch rate, not compute.  Fetching one element of the
+    last output is the only reliable sync."""
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf.ravel()[0])
+
+
+def warm_time(fn, n_lo=1, n_hi=3, repeats=3):
+    """Warm per-call seconds, device_get-synced; the ~25 ms tunnel
+    roundtrip is cancelled by differencing two block sizes.  MIN over
+    repeated blocks (the tunnel injects multi-ms stalls at random)."""
+    sync_get(fn())  # compile + drain before timing
+
+    def block(n):
+        best = float('inf')
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = fn()
+            sync_get(out)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max(block(n_hi) - block(n_lo), 1e-12) / (n_hi - n_lo)
+
+
 def microbench_lieops(batch=100_000, iters=50):
     import pypose_tpu as pp
     from pypose_tpu.lietensor.jacobian import se3_Jl
@@ -44,33 +75,27 @@ def microbench_lieops(batch=100_000, iters=50):
                     y.tensor(), p + q * 1e-20)
         return jax.lax.fori_loop(0, iters, body, (xd, Xd, p))
 
-    # ALL micro timings: best-of-REPEATS blocks.  The remote-TPU tunnel
-    # injects multi-ms stalls at random into dispatch timing (measured:
-    # the same program varies 0.035 -> 1.2 ms/iter across bench attempts);
-    # the MIN over repeated blocks is the only stable statistic, and it is
-    # what r1's 0.021 ms jacrev number effectively sampled (the r2 "1.7x
-    # regression" was tunnel jitter, not a code change).
+    # ALL micro timings: best-of-REPEATS blocks that END IN A device_get.
+    # Through the remote tunnel, jax.block_until_ready RETURNS BEFORE
+    # EXECUTION (measured r3: 8 calls of a 1.4 s program each "blocked" in
+    # ~0.1 ms until a device_get drained the queue) — block-only timing
+    # measures dispatch rate, not compute.  Each block therefore syncs by
+    # fetching ONE element of the last output; the ~25 ms roundtrip it
+    # costs is cancelled by differencing two block sizes.  MIN over
+    # repeated blocks remains the only stable statistic (the same program
+    # varies up to 30x call-to-call on a jittery night).
     REPEATS = 5
 
-    def best_of(fn, n):
-        best = float('inf')
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
-            for _ in range(n):
-                out = fn()
-            jax.block_until_ready(out)
-            best = min(best, (time.perf_counter() - t0) / n)
-        return best
+    def per_call(fn, n_lo, n_hi):
+        return warm_time(fn, n_lo, n_hi, repeats=REPEATS)
 
     args = (x.tensor(), X.tensor(), p)
-    out = fused_loop(*args)
-    jax.block_until_ready(out)
-    dt = best_of(lambda: fused_loop(*args), 1) / iters
+    dt = per_call(lambda: fused_loop(*args), 1, 5) / iters
     ops_per_sec = batch / dt
     log(f'[micro] SE3 Exp+Log+Jl+Act chained x{iters} on device: '
         f'{dt*1e3:.4f} ms/iter = {ops_per_sec:.3e} group-elem/s '
         f'(carry stays VMEM-resident — the fused-chain regime; '
-        f'best of {REPEATS})')
+        f'best of {REPEATS}, device_get-synced)')
 
     # HBM-resident single-shot (dispatch-loop) variant: each call reads
     # inputs from and writes outputs to HBM — the roofline regime.
@@ -84,12 +109,10 @@ def microbench_lieops(batch=100_000, iters=50):
         q = y.Act(p)
         return y.tensor(), z.tensor(), J, q
 
-    out = fused(*args)
-    jax.block_until_ready(out)
-    dt_h = best_of(lambda: fused(*args), 20)
+    dt_h = per_call(lambda: fused(*args), 20, 120)
     log(f'[micro] SE3 Exp+Log+Jl+Act single-shot (HBM-resident): '
         f'{dt_h*1e3:.3f} ms/iter = {batch/dt_h:.3e} group-elem/s '
-        f'(best of {REPEATS})')
+        f'(best of {REPEATS}, device_get-synced)')
 
     # jacobian of Act w.r.t. pose tangent via vmapped jacrev
     @jax.jit
@@ -97,11 +120,9 @@ def microbench_lieops(batch=100_000, iters=50):
         f = lambda X_, p_: pp.SE3(X_).Act(p_)
         return jax.vmap(jax.jacrev(f))(Xd, p)
 
-    J = jac(X.tensor(), p)
-    jax.block_until_ready(J)
-    dtj = best_of(lambda: jac(X.tensor(), p), 20)
+    dtj = per_call(lambda: jac(X.tensor(), p), 20, 120)
     log(f'[micro] vmapped jacrev(Act) @ {batch}: {dtj*1e3:.3f} ms/iter '
-        f'= {batch/dtj:.3e} jac/s (best of {REPEATS})')
+        f'= {batch/dtj:.3e} jac/s (best of {REPEATS}, device_get-synced)')
     return batch / dt_h
 
 
@@ -396,12 +417,8 @@ def bench_modules():
         T = pp.randn_SE3(sigma=(0.3, 0.05), key=jax.random.PRNGKey(1))
         tgt = T.Act(src)
         icp = ICP(stepper=ReduceToBason(steps=8, patience=8, tol=1e-9))
+        dt = warm_time(lambda: icp(src, tgt).tensor())
         out = icp(src, tgt)
-        jax.block_until_ready(out.tensor())
-        t0 = time.perf_counter()
-        out = icp(src, tgt)
-        jax.block_until_ready(out.tensor())
-        dt = time.perf_counter() - t0
         err = float(jnp.abs((out.Inv() @ T).Log().tensor()).max())
         log(f'[icp] {N} pts, <=8 sweeps (tiled-knn while_loop): '
             f'{dt*1e3:.1f} ms warm (align err {err:.1e})')
@@ -422,12 +439,8 @@ def bench_modules():
         pix = pp.point2pixel(pts_cam, K)
         epnp = EPnP(intrinsics=K, refine=False)
         run = jax.jit(lambda p, x: epnp(p, x).tensor())
+        dt = warm_time(lambda: run(pts_w, pix))
         sol = run(pts_w, pix)
-        jax.block_until_ready(sol)
-        t0 = time.perf_counter()
-        sol = run(pts_w, pix)
-        jax.block_until_ready(sol)
-        dt = time.perf_counter() - t0
         errs = jnp.abs((pp.SE3(sol).Inv() @ pose).Log().tensor()).max(-1)
         med = float(jnp.median(errs))
         p99 = float(jnp.percentile(errs, 99))
@@ -468,12 +481,8 @@ def bench_modules():
         mpc = MPC(CartPole(), Q, pvec, T,
                   stepper=ReduceToBason(steps=5))
         x0 = jnp.array([[0.0, 0.0, 0.3, 0.0]])
+        dt = warm_time(lambda: mpc(0.05, x0))
         x, u, cost = mpc(0.05, x0)
-        jax.block_until_ready(u)
-        t0 = time.perf_counter()
-        x, u, cost = mpc(0.05, x0)
-        jax.block_until_ready(u)
-        dt = time.perf_counter() - t0
         log(f'[mpc] cartpole T={T}, 5 iLQR iters + diff pass: '
             f'{dt*1e3:.1f} ms warm (cost {float(cost[0]):.3f})')
     except Exception as e:
@@ -490,12 +499,7 @@ def bench_modules():
             gyro = jnp.broadcast_to(jnp.array([0., 0., 0.3]), (1, F, 3))
             acc = jnp.broadcast_to(jnp.array([0.2, 0., 9.81007]), (1, F, 3))
             integ = IMUPreintegrator(reset=True, prop_cov=True)
-            out = integ(dtv, gyro, acc)
-            jax.block_until_ready(out['pos'])
-            t0 = time.perf_counter()
-            out = integ(dtv, gyro, acc)
-            jax.block_until_ready(out['pos'])
-            dt = time.perf_counter() - t0
+            dt = warm_time(lambda: integ(dtv, gyro, acc))
             log(f'[imu] preintegration @ {F} frames (SO3 + 9x9-cov assoc '
                 f'scans): {dt*1e3:.1f} ms = {F/dt:.3e} frames/s')
             break
@@ -522,12 +526,8 @@ def bench_batch_lm(B=4096, steps=4):
     targets = pp.randn_SE3(B, 1, sigma=0.5, key=jax.random.PRNGKey(7))
     solve = make_batch_optimizer(PoseInvB(), steps=steps,
                                  strategy=Constant(damping=1e-6))
+    dt = warm_time(lambda: solve(targets))
     params, losses = solve(targets)
-    jax.block_until_ready(losses)
-    t0 = time.perf_counter()
-    params, losses = solve(targets)
-    jax.block_until_ready(losses)
-    dt = time.perf_counter() - t0
     log(f'[batch-lm] {B} independent SE3 LM problems x {steps} steps: '
         f'{dt*1e3:.1f} ms = {B/dt:.3e} problems/s '
         f'(max loss {float(losses.max()):.1e})')
@@ -625,12 +625,7 @@ def bench_filters(T=1000):
     filt = EKF(Pendulum(), Q, R)
     run = jax.jit(lambda x0, P0, ys, us: filter_rollout(
         filt, x0, P0, ys, us))
-    xs, Ps = run(jnp.zeros(N), jnp.eye(N), ys, us)
-    jax.block_until_ready(xs)
-    t0 = time.perf_counter()
-    xs, Ps = run(jnp.zeros(N), jnp.eye(N), ys, us)
-    jax.block_until_ready(xs)
-    dt = time.perf_counter() - t0
+    dt = warm_time(lambda: run(jnp.zeros(N), jnp.eye(N), ys, us))
     log(f'[ekf] {T}-step EKF rollout (scan, incl. per-step jacrev '
         f'linearization): {dt*1e3:.1f} ms = {T/dt:.3e} steps/s')
 
