@@ -338,12 +338,14 @@ def bench_ba_trafalgar():
     ba = make()
     chi0 = float(ba._chi2(ds['poses'].tensor(), ds['points']))
     t0 = time.perf_counter()
-    ba.optimize(steps=10, patience=3, decreasing=1e-3)  # compile + run
+    # 5 steps: BENCH_r03 showed convergence at step 5 with 3 flatline
+    # steps after — pure wasted driver budget (r3 verdict weak #5)
+    ba.optimize(steps=5, patience=3, decreasing=1e-3)  # compile + run
     log(f'[ba-trafalgar] cold compile+optimize {time.perf_counter()-t0:.1f}s')
     ba2 = make()
     ba2._opt_cache = ba._opt_cache
     t0 = time.perf_counter()
-    loss = ba2.optimize(steps=10, patience=3, decreasing=1e-3)
+    loss = ba2.optimize(steps=5, patience=3, decreasing=1e-3)
     dt = time.perf_counter() - t0
     steps = max(len(ba2.history), 1)
     log(f'[ba-trafalgar] warm: {steps} device-side LM steps in {dt:.3f}s '
@@ -631,48 +633,70 @@ def bench_filters(T=1000):
 
 
 def main():
+    """Headline FIRST, JSON line IMMEDIATELY after it, then secondary
+    sections under a global wall-clock budget (r3 verdict #1: the driver's
+    capture timed out at rc=124 because the headline ran last and nothing
+    bounded total time).  The budget clock starts at PPT_BENCH_T0 when set
+    (the watchdog passes it down so restarts share one budget)."""
+    import os
+
+    deadline = float(os.environ.get('PPT_BENCH_DEADLINE', '900'))
+    t_start = float(os.environ.get('PPT_BENCH_T0') or time.monotonic())
+
+    def remaining():
+        return deadline - (time.monotonic() - t_start)
+
     log('devices:', jax.devices())
-    ops_per_sec = microbench_lieops()
-    try:
-        bench_batch_lm()
-    except Exception as e:
-        log('[batch-lm] failed:', e)
-    try:
-        bench_ba()
-    except Exception as e:  # secondary metric must not kill the headline
-        log('[ba] failed:', e)
-    try:
-        bench_ba_trafalgar()
-    except Exception as e:
-        log('[ba-trafalgar] failed:', e)
-    try:
-        bench_ba_anchored()
-    except Exception as e:
-        log('[ba-anchored] failed:', e)
-    try:
-        bench_pgo_chain()
-    except Exception as e:
-        log('[pgo-chain] failed:', e)
-    try:
-        bench_pgo_100k()
-    except Exception as e:
-        log('[pgo-100k] failed:', e)
-    try:
-        bench_modules()
-    except Exception as e:
-        log('[modules] failed:', e)
-    try:
-        bench_filters()
-    except Exception as e:
-        log('[ekf] failed:', e)
-    elapsed, chi2 = bench_pgo_sphere2500()
+
+    # --- headline (exempt from the deadline: it IS the deliverable) ---
     baseline = 5.0  # seconds (BASELINE.json: sphere2500 to ref chi2 < 5 s)
-    print(json.dumps({
-        'metric': 'sphere2500_pgo_time_to_converge',
-        'value': round(elapsed, 4),
-        'unit': 'seconds',
-        'vs_baseline': round(baseline / elapsed, 2),
-    }), flush=True)
+    if os.environ.get('PPT_JSON_DONE'):
+        # watchdog restart after the JSON line already went out: don't
+        # burn shared budget re-running (and maybe re-compiling) the
+        # headline — go straight to the remaining sections
+        log('[pgo] headline already captured by a previous attempt; skipping')
+    else:
+        try:
+            elapsed, chi2 = bench_pgo_sphere2500()
+            payload = {
+                'metric': 'sphere2500_pgo_time_to_converge',
+                'value': round(elapsed, 4),
+                'unit': 'seconds',
+                'vs_baseline': round(baseline / elapsed, 2),
+            }
+        except Exception as e:
+            log('[pgo] HEADLINE FAILED:', e)
+            payload = {
+                'metric': 'sphere2500_pgo_time_to_converge',
+                'value': round(deadline, 4),  # sentinel: did not converge
+                'unit': 'seconds',
+                'vs_baseline': 0.0,
+            }
+        print(json.dumps(payload), flush=True)
+
+    # --- secondary sections, cheapest-information-first, each skipped
+    # when the remaining budget can't cover its estimated cost ---
+    sections = [
+        ('ekf', bench_filters, 60),
+        ('imu+modules', bench_modules, 240),
+        ('pgo-100k', bench_pgo_100k, 180),
+        ('micro', microbench_lieops, 90),
+        ('batch-lm', bench_batch_lm, 60),
+        ('ba-anchored', bench_ba_anchored, 40),
+        ('ba', bench_ba, 60),
+        ('ba-trafalgar', bench_ba_trafalgar, 120),
+        ('pgo-chain', bench_pgo_chain, 60),
+    ]
+    for name, fn, cost in sections:
+        if remaining() < cost:
+            log(f'[{name}] skipped (deadline: {remaining():.0f}s left '
+                f'< est {cost}s)')
+            continue
+        try:
+            fn()
+        except Exception as e:
+            log(f'[{name}] failed:', e)
+    log(f'[bench] done with {remaining():.0f}s of budget left')
 
 
 def _watchdog_main():
@@ -690,8 +714,14 @@ def _watchdog_main():
     # r3: the tunnel can wedge repeatedly for a long stretch (hours of
     # back-to-back backend-init hangs observed); keep retrying — each
     # attempt is cheap and a recovered tunnel completes in ~25 min
+    t0 = time.monotonic()
+    json_done = {'v': False}
     for attempt in range(8):
-        env = dict(os.environ, PPT_BENCH_CHILD='1')
+        # restarts share ONE wall-clock budget (PPT_BENCH_T0) and must not
+        # print a second headline JSON line (PPT_JSON_DONE)
+        env = dict(os.environ, PPT_BENCH_CHILD='1', PPT_BENCH_T0=repr(t0))
+        if json_done['v']:
+            env['PPT_JSON_DONE'] = '1'
         proc = subprocess.Popen([sys.executable, '-u', __file__],
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.PIPE, env=env)
@@ -700,6 +730,8 @@ def _watchdog_main():
         def pump(src, dst):
             for line in iter(src.readline, b''):
                 state['last'] = time.monotonic()
+                if dst is sys.stdout and line.strip().startswith(b'{'):
+                    json_done['v'] = True
                 dst.buffer.write(line)
                 dst.flush()
 
