@@ -487,6 +487,19 @@ def bench_modules():
         x, u, cost = mpc(0.05, x0)
         log(f'[mpc] cartpole T={T}, 5 iLQR iters + diff pass: '
             f'{dt*1e3:.1f} ms warm (cost {float(cost[0]):.3f})')
+
+        # Robust iLQR (line_search=True: Levenberg-regularized backward
+        # pass + backtracking line search + carried nominal) lifts the
+        # horizon cap: T=128 swing-up converges where vanilla diverges.
+        T = 128
+        mpc = MPC(CartPole(), Q, pvec, T,
+                  stepper=ReduceToBason(steps=30), line_search=True)
+        dt = warm_time(lambda: mpc(0.05, x0))
+        x, u, cost = mpc(0.05, x0)
+        th_tail = float(jnp.abs(x[0, T // 2:, 2]).max())
+        log(f'[mpc-ls] cartpole T={T} robust iLQR: {dt*1e3:.1f} ms warm '
+            f'(cost {float(cost[0]):.3f}, |theta| tail max {th_tail:.4f}; '
+            f'vanilla iLQR diverges beyond ~T=50)')
     except Exception as e:
         log('[mpc] failed:', e)
 

@@ -64,9 +64,11 @@ class LQR(Module):
         self.dtype = self.p.dtype
 
     def forward(self, x_init, dt=None, u_traj=None, u_lower=None,
-                u_upper=None, du=None):
-        K, k = self.lqr_backward(x_init, dt, u_traj, u_lower, u_upper, du)
-        x, u, cost = self.lqr_forward(x_init, K, k, u_lower, u_upper, du)
+                u_upper=None, du=None, x_traj=None, mu=0.0, robust=False):
+        K, k = self.lqr_backward(x_init, dt, u_traj, u_lower, u_upper, du,
+                                 mu=mu, robust=robust, x_traj=x_traj)
+        x, u, cost = self.lqr_forward(x_init, K, k, u_lower, u_upper, du,
+                                      robust=robust)
         return x, u, cost
 
     def _time(self, t, dt=None):
@@ -106,13 +108,28 @@ class LQR(Module):
         return sys.state_transition(x, u, t)
 
     def lqr_backward(self, x_init, dt, u_traj=None, u_lower=None,
-                     u_upper=None, du=None):
+                     u_upper=None, du=None, mu=0.0, robust=False,
+                     x_traj=None):
         """Reverse Riccati recursion as ONE ``lax.scan`` (reverse=True)
         with per-step linearization inside the body.
 
         Ref: lqr.py:310-355.  Initializing the carry (V, v) = 0 makes the
         body uniform: at t = T-1 the F-terms vanish exactly, reproducing
         the reference's terminal special case.
+
+        ``mu`` adds Levenberg regularization ``Quu + mu I`` before the
+        Cholesky solve (Tassa et al. 2012) — the reference has no such
+        term (lqr.py:310-355), which is why its vanilla iLQR diverges on
+        unstable plants beyond short horizons; ``mu=0`` is exact parity.
+
+        ``x_traj`` (``(*B, T, ns)``) supplies the nominal states directly
+        instead of re-rolling ``u_traj``.  On chaotic plants a re-roll is
+        NOT reproducible across separately-compiled programs (XLA fusion
+        reassociates the dynamics arithmetic; 1-ulp differences amplify
+        over the horizon), so the line-search loop must linearize around
+        the exact trajectory whose cost it accepted — measured on the
+        T=128 cartpole, re-rolling made the incumbent's own re-evaluation
+        2x its accepted cost and stalled every subsequent step.
         """
         ns, nsc = x_init.shape[-1], self.p.shape[-1]
         nc = nsc - ns
@@ -127,10 +144,23 @@ class LQR(Module):
 
         def roll(xt, tu):
             t, ut = tu
-            return self._step(xt, ut, self._time(t, dt)), xt
+            xn = self._step(xt, ut, self._time(t, dt))
+            if robust:
+                # saturate the nominal: a diverging rollout (unstable
+                # plant, long horizon) otherwise overflows f32 and every
+                # downstream quantity — linearization, cost, line-search
+                # comparison — becomes nan/inf, leaving the optimizer no
+                # gradient signal to escape.  Inactive on sane nominals.
+                xn = jnp.clip(jnp.nan_to_num(xn, nan=_XCAP, posinf=_XCAP,
+                                             neginf=-_XCAP), -_XCAP, _XCAP)
+            return xn, xt
 
-        _, xs_s = lax.scan(roll, xb, (ts, us_s))        # (T, *B, ns)
-        self.x_traj = jnp.moveaxis(xs_s, 0, -2)
+        if x_traj is None:
+            _, xs_s = lax.scan(roll, xb, (ts, us_s))    # (T, *B, ns)
+            self.x_traj = jnp.moveaxis(xs_s, 0, -2)
+        else:
+            self.x_traj = jnp.asarray(x_traj)
+            xs_s = jnp.moveaxis(self.x_traj, -2, 0)
 
         xut = jnp.concatenate([self.x_traj, self.u_traj], axis=-1)
         p = bmv(self.Q, xut) + self.p
@@ -149,12 +179,26 @@ class LQR(Module):
             Qxx, Qxu = Qt[..., :ns, :ns], Qt[..., :ns, ns:]
             Qux, Quu = Qt[..., ns:, :ns], Qt[..., ns:, ns:]
             qx, qu = qt[..., :ns], qt[..., ns:]
+            Quu = Quu + mu * jnp.eye(nc, dtype=self.dtype)
             L = jnp.linalg.cholesky(Quu)
             Kt = -_cho_solve(L, Qux)
             kt = -_cho_solve(L, qu[..., None])[..., 0]
             KtT = jnp.swapaxes(Kt, -1, -2)
             V = Qxx + Qxu @ Kt + KtT @ Qux + KtT @ Quu @ Kt
             v = qx + bmv(Qxu, kt) + bmv(KtT, qu) + bmv(KtT @ Quu, kt)
+            V = 0.5 * (V + jnp.swapaxes(V, -1, -2))
+            if robust:
+                # cost-to-go along a diverged NOMINAL trajectory (e.g. the
+                # u=0 rollout of an unstable plant over a long horizon)
+                # overflows f32 before regularization can act; saturating
+                # the carry keeps the pass finite so the line search can
+                # reject and re-damp.  Inactive once trajectories are sane
+                # (converged V* of a stabilizable plant is moderate).
+                cap = 1e12
+                V = jnp.clip(jnp.nan_to_num(V, nan=cap, posinf=cap,
+                                            neginf=-cap), -cap, cap)
+                v = jnp.clip(jnp.nan_to_num(v, nan=cap, posinf=cap,
+                                            neginf=-cap), -cap, cap)
             return (V, v), (Kt, kt)
 
         V0 = jnp.zeros(self.n_batch + (ns, ns), self.dtype)
@@ -165,9 +209,15 @@ class LQR(Module):
         k = jnp.moveaxis(ks, 0, -2)
         return K, k
 
-    def lqr_forward(self, x_init, K, k, u_lower=None, u_upper=None, du=None):
+    def lqr_forward(self, x_init, K, k, u_lower=None, u_upper=None, du=None,
+                    eps=1.0, robust=False):
         """Rollout accumulating quadratic cost as ONE ``lax.scan`` carrying
-        (x, cost).  Ref: lqr.py:357-380."""
+        (x, cost).  Ref: lqr.py:357-380.
+
+        ``eps`` scales the feedforward term (``u = u_ref + eps k +
+        K (x - x_ref)``) for backtracking line search; ``eps=1`` is the
+        reference's plain rollout.  ``robust`` saturates diverging states
+        (see lqr_backward) so line-search costs stay comparable."""
         assert x_init.ndim == 2, 'Shape not compatible.'
         ts = jnp.arange(self.T)
         Ks = jnp.moveaxis(K, -3, 0)
@@ -180,9 +230,12 @@ class LQR(Module):
         def body(carry, inp):
             xt, cost = carry
             t, Kt, kt, xr, ur, Qt, pt = inp
-            ut = bmv(Kt, xt - xr) + kt + ur
+            ut = bmv(Kt, xt - xr) + eps * kt + ur
             xut = jnp.concatenate([xt, ut], axis=-1)
             xn = self._step(xt, ut, t)
+            if robust:
+                xn = jnp.clip(jnp.nan_to_num(xn, nan=_XCAP, posinf=_XCAP,
+                                             neginf=-_XCAP), -_XCAP, _XCAP)
             cost = cost + 0.5 * bvmv(xut, Qt, xut) \
                 + jnp.sum(xut * pt, axis=-1)
             return (xn, cost), (xn, ut)
@@ -194,6 +247,9 @@ class LQR(Module):
                              jnp.moveaxis(xn_s, 0, -2)], axis=-2)
         u = jnp.moveaxis(us_s, 0, -2)
         return x, u, cost
+
+
+_XCAP = 1e6  # robust-mode state saturation bound
 
 
 def _sq(J):

@@ -147,3 +147,45 @@ def test_lqr_time_varying_cost_scan():
     x_u, _, _ = LQR(sys, Q_unif, p, T)(x0)
     x_t, _, _ = LQR(sys, Q_term, p, T)(x0)
     assert float(jnp.abs(x_t[0, -2]).sum()) < float(jnp.abs(x_u[0, -2]).sum())
+
+
+class _CartPoleFull(NLS):
+    """True cart-pole (unstable upright equilibrium), Euler-discretized —
+    the reference's MPC example plant (examples/module/mpc/cartpole.py)."""
+
+    def state_transition(self, state, input, t=None):
+        x, dx, th, dth = (state[..., 0], state[..., 1],
+                          state[..., 2], state[..., 3])
+        f = input[..., 0]
+        dtt, g, mc, mp, l = 0.05, 9.81, 1.0, 0.1, 0.5
+        tmp = (f + mp * l * dth ** 2 * jnp.sin(th)) / (mc + mp)
+        thacc = (g * jnp.sin(th) - jnp.cos(th) * tmp) / \
+            (l * (4.0 / 3 - mp * jnp.cos(th) ** 2 / (mc + mp)))
+        xacc = tmp - mp * l * thacc * jnp.cos(th) / (mc + mp)
+        return jnp.stack([x + dtt * dx, dx + dtt * xacc,
+                          th + dtt * dth, dth + dtt * thacc], axis=-1)
+
+    def observation(self, state, input, t=None):
+        return state
+
+
+def test_mpc_line_search_long_horizon():
+    """Robust (regularized + line-search) iLQR converges on the unstable
+    cart-pole at T=128 — vanilla iLQR (reference parity,
+    /root/reference/pypose/module/lqr.py:310-380) diverges beyond ~T=50.
+    Pins the carried-nominal design: the backward pass must linearize
+    around the accepted forward-pass trajectory (re-rolls are not
+    f32-reproducible on chaotic plants) and the returned trajectory rolls
+    with feedback active."""
+    T = 128
+    Q = jnp.diag(jnp.array([1., 0.1, 10., 0.1, 0.01]))[None]
+    p = jnp.zeros((1, 5))
+    mpc = MPC(_CartPoleFull(), Q, p, T,
+              stepper=ReduceToBason(steps=30), line_search=True)
+    x0 = jnp.array([[0.0, 0.0, 0.3, 0.0]])
+    x, u, cost = mpc(0.05, x0)
+    assert x.shape == (1, T + 1, 4) and u.shape == (1, T, 1)
+    assert bool(jnp.isfinite(cost).all()) and bool(jnp.isfinite(x).all())
+    # swing-up succeeds: pole settles near upright over the back half
+    assert float(cost[0]) < 50.0, f'cost {float(cost[0])}'
+    assert float(jnp.abs(x[0, T // 2:, 2]).max()) < 0.1
