@@ -250,6 +250,200 @@ def stencil_cg_tiled(b_T, A_T, Minv_T, C_T, offsets, t, maxiter, tol,
     return x[:, :N], it
 
 
+def _fused_axpy_kernel(sc_ref, u_ref, p_ref, s_ref, w_ref, x_ref, r_ref,
+                       Minv_ref, p2_ref, s2_ref, x2_ref, r2_ref, u2_ref,
+                       dots_ref, *, t):
+    """Pass 1 of the fused CG-CG iteration (one node tile).
+
+    Given scalars (alpha, beta) all vector updates of the
+    Chronopoulos-Gear recursion are local:
+
+        p' = u + beta p        s' = w + beta s   (s tracks A p)
+        x' = x + alpha p'      r' = r - alpha s'
+        u' = Minv r'           gamma' = (r', u')   rr' = (r', r')
+
+    Dot partials accumulate across the sequential TPU grid into an SMEM
+    output block that stays resident (constant index_map)."""
+    from jax.experimental import pallas as pl
+
+    alpha = sc_ref[0]
+    beta = sc_ref[1]
+    p2 = u_ref[:] + beta * p_ref[:]
+    s2 = w_ref[:] + beta * s_ref[:]
+    x2_ref[:] = x_ref[:] + alpha * p2
+    r2 = r_ref[:] - alpha * s2
+    u2 = _block_mul(Minv_ref[:].astype(jnp.float32), r2, t)
+    p2_ref[:] = p2
+    s2_ref[:] = s2
+    r2_ref[:] = r2
+    u2_ref[:] = u2
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dots_ref[0] = 0.0
+        dots_ref[1] = 0.0
+
+    dots_ref[0] += jnp.sum(r2 * u2)
+    dots_ref[1] += jnp.sum(r2 * r2)
+
+
+def _fused_mv_kernel(A_ref, C_ref, u_ref, pf_ref, q_ref, bk_ref,
+                     dots_ref, *, n_off, t):
+    """Pass 2 of the fused CG-CG iteration: stencil matvec partials.
+
+        q    = A u + sum_k C_k pf_k          (pf_k = roll(u, -d_k))
+        bk_k = C_k^T u                        (caller deposits roll(+d_k))
+        delta = (w, u) = (q, u) + sum_k (bk_k, pf_k)
+
+    The delta identity uses sum(roll(bk, +d) * u) == sum(bk * roll(u, -d)),
+    so the dot is complete before the back-deposit is materialized."""
+    from jax.experimental import pallas as pl
+
+    u = u_ref[:]
+    A = A_ref[:].astype(jnp.float32)
+    q = _block_mul(A, u, t)
+    tt = t * t
+    dot = jnp.float32(0.0)
+    for k in range(n_off):
+        Ck = C_ref[k * tt:(k + 1) * tt, :].astype(jnp.float32)
+        pfk = pf_ref[k * t:(k + 1) * t, :]
+        q = q + _block_mul(Ck, pfk, t)
+        bk = _block_mul(Ck, u, t, transpose=True)
+        bk_ref[k * t:(k + 1) * t, :] = bk
+        dot = dot + jnp.sum(bk * pfk)
+    q_ref[:] = q
+    dot = dot + jnp.sum(q * u)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dots_ref[0] = 0.0
+
+    dots_ref[0] += dot
+
+
+def stencil_cg_fused(b_T, A_T, Minv_T, C_T, offsets, t, maxiter, tol,
+                     tile=8192, interpret=False, operand_dtype=None):
+    """HBM-streamed PCG with the whole iteration fused into TWO Pallas
+    passes (Chronopoulos-Gear recursion).
+
+    The r3 tiled attempt (stencil_cg_tiled) lost to the einsum CG
+    because splitting the iteration into mv + pc kernels + ~6 XLA
+    axpy/roll fusions re-read the state vectors many times and paid
+    per-kernel dispatch.  CG-CG reorders the recursion so both dot
+    products land together right after the matvec; every axpy, the
+    block-Jacobi apply, and both dots then fuse into pass 1, and the
+    matvec plus its dot into pass 2.  Only the lane rolls (the
+    circulant shifts, which cross tile boundaries) stay in XLA glue.
+    Dots are accumulated in SMEM across the sequential grid — no
+    [T]-partial buffers, no extra reduction kernels.
+
+    ``operand_dtype=jnp.bfloat16`` stores A/Minv/C in bf16 (halving the
+    dominant operand re-read traffic) while all arithmetic stays f32 on
+    the VPU; the preconditioner is exact-agnostic and the bf16 system
+    perturbation is absorbed by the LM damping loop.
+
+    Args as stencil_cg_transposed; returns (x_T [t, N], iterations).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = int(t)
+    tt = t * t
+    n_off = len(offsets)
+    N = b_T.shape[1]
+    pad = (-N) % tile
+    Npad = N + pad
+    T = Npad // tile
+
+    def padN(a):
+        return jnp.pad(a, ((0, 0), (0, Npad - a.shape[1])))
+
+    b_p = padN(b_T)
+    A_p, Minv_p, C_p = (padN(a) for a in (A_T, Minv_T, C_T))
+    if operand_dtype is not None:
+        A_p = A_p.astype(operand_dtype)
+        Minv_p = Minv_p.astype(operand_dtype)
+        C_p = C_p.astype(operand_dtype)
+
+    vec = lambda r: pl.BlockSpec((r, tile), lambda j: (0, j))  # noqa: E731
+    smem = lambda n: pl.BlockSpec(  # noqa: E731
+        (n,), lambda j: (0,), memory_space=pltpu.SMEM)
+
+    axpy = pl.pallas_call(
+        functools.partial(_fused_axpy_kernel, t=t),
+        grid=(T,),
+        in_specs=[smem(2), vec(t), vec(t), vec(t), vec(t), vec(t), vec(t),
+                  vec(tt)],
+        out_specs=(vec(t), vec(t), vec(t), vec(t), vec(t), smem(2)),
+        out_shape=(jax.ShapeDtypeStruct((t, Npad), jnp.float32),) * 5
+        + (jax.ShapeDtypeStruct((2,), jnp.float32),),
+        interpret=interpret,
+    )
+
+    mv = pl.pallas_call(
+        functools.partial(_fused_mv_kernel, n_off=n_off, t=t),
+        grid=(T,),
+        in_specs=[vec(tt), vec(n_off * tt), vec(t), vec(n_off * t)],
+        out_specs=(vec(t), vec(n_off * t), smem(1)),
+        out_shape=(jax.ShapeDtypeStruct((t, Npad), jnp.float32),
+                   jax.ShapeDtypeStruct((n_off * t, Npad), jnp.float32),
+                   jax.ShapeDtypeStruct((1,), jnp.float32)),
+        interpret=interpret,
+    )
+
+    def roll_n(v, d):
+        """Circular roll along lanes wrapping at N (not Npad); padded
+        lanes stay exactly zero."""
+        core = jnp.roll(v[:, :N], d, axis=1)
+        return jnp.pad(core, ((0, 0), (0, Npad - N)))
+
+    def matvec(u):
+        pf = jnp.concatenate([roll_n(u, -d) for d in offsets], axis=0)
+        q, bk, delta = mv(A_p, C_p, u, pf)
+        w = q
+        for k, d in enumerate(offsets):
+            w = w + roll_n(bk[k * t:(k + 1) * t, :], d)
+        return w, delta[0]
+
+    # init: one pass-1 call with alpha=beta=0 and zero (u, p, s, w)
+    # degenerates to  x0=0, r0=b, u0=Minv b, gamma0=(r0,u0), rr0=(b,b)
+    zv = jnp.zeros_like(b_p)
+    sc0 = jnp.zeros((2,), jnp.float32)
+    _, _, x0, r0, u0, d0 = axpy(sc0, zv, zv, zv, zv, zv, b_p, Minv_p)
+    gamma0, rr0 = d0[0], d0[1]
+    w0, delta0 = matvec(u0)
+    tol2 = (tol * tol) * rr0
+
+    def cond(st):
+        (x, r, p, s, u, w, gamma, delta, gamma_pr, alpha_pr, rr, it) = st
+        return (it < maxiter) & (rr > tol2)
+
+    def body(st):
+        (x, r, p, s, u, w, gamma, delta, gamma_pr, alpha_pr, rr, it) = st
+        first = it == 0
+        beta = jnp.where(first, 0.0, gamma / jnp.where(gamma_pr == 0,
+                                                       1e-31, gamma_pr))
+        den = delta - beta * gamma / jnp.where(alpha_pr == 0, 1e-31,
+                                               alpha_pr)
+        alpha = gamma / jnp.where(
+            first, jnp.where(delta == 0, 1e-31, delta),
+            jnp.where(den == 0, 1e-31, den))
+        sc = jnp.stack([alpha, beta])
+        p2, s2, x2, r2, u2, d2 = axpy(sc, u, p, s, w, x, r, Minv_p)
+        gamma2, rr2 = d2[0], d2[1]
+        w2, delta2 = matvec(u2)
+        return (x2, r2, p2, s2, u2, w2, gamma2, delta2, gamma, alpha,
+                rr2, it + 1)
+
+    one = jnp.float32(1.0)
+    st = (x0, r0, zv, zv, u0, w0, gamma0, delta0, one, one, rr0,
+          jnp.asarray(0, jnp.int32))
+    out = jax.lax.while_loop(cond, body, st)
+    x = out[0]
+    it = out[-1]
+    return x[:, :N], it
+
+
 def stencil_cg_fits_vmem(N, t, n_off):
     """True when the whole-CG kernel's VMEM footprint fits the ~10 MB
     budget (operands b/A/Minv/C + ~5 state vectors + matvec temps).
