@@ -94,3 +94,79 @@ def chol3x3(A):
     return jnp.stack([jnp.stack([a11, z, z], -1),
                       jnp.stack([l21, a22, z], -1),
                       jnp.stack([l31, l32, a33], -1)], -2)
+
+
+# ---------------------------------------------------------------------------
+# scalarized (component-list) forms
+#
+# The matrix forms above unpack [N, d, d] arrays by M[..., i, j] slices and
+# rebuild dozens of [N, 3, 3] temps; on TPU every such temp is (8, 128)-
+# tiled, so both small minor dims pad (3 -> 8 sublanes, 3 -> 128 lanes) and
+# each elementwise stage moves ~40x the logical bytes.  Measured r4 at
+# N=1e5: the damped-block build + inv6x6 cost ~26 ms of a 109 ms LM step
+# (tools/pgo100k_prof.py).  The scalarized forms below take/return plain
+# PYTHON LISTS of d*d same-shaped arrays (row-major components) — every
+# stage is elementwise on [N]-shaped vectors, which XLA fuses into a
+# handful of full-bandwidth passes.  Same trick as lietensor/scalarized.py.
+# ---------------------------------------------------------------------------
+
+def inv3x3_scalar(c):
+    """Adjugate 3x3 inverse on a row-major component list (len 9)."""
+    a, b, c_, d, e, f, g, h, i = c
+    A = e * i - f * h
+    B = -(d * i - f * g)
+    C = d * h - e * g
+    D = -(b * i - c_ * h)
+    E = a * i - c_ * g
+    F = -(a * h - b * g)
+    G = b * f - c_ * e
+    H = -(a * f - c_ * d)
+    I = a * e - b * d
+    det = a * A + b * B + c_ * C
+    det = jnp.where(jnp.abs(det) < 1e-36, 1e-36, det)
+    inv = 1.0 / det
+    return [A * inv, D * inv, G * inv,
+            B * inv, E * inv, H * inv,
+            C * inv, F * inv, I * inv]
+
+
+def _mm3_scalar(x, y):
+    """Row-major 3x3 component-list product."""
+    return [sum(x[i * 3 + k] * y[k * 3 + j] for k in range(3))
+            for i in range(3) for j in range(3)]
+
+
+def inv6x6_scalar(c):
+    """6x6 inverse via 3x3-blockwise Schur on a row-major component list
+    (len 36) — the scalarized counterpart of :func:`inv6x6`."""
+    def blk(ro, co):
+        return [c[(ro + i) * 6 + (co + j)] for i in range(3)
+                for j in range(3)]
+
+    A, B, C, D = blk(0, 0), blk(0, 3), blk(3, 0), blk(3, 3)
+    Ai = inv3x3_scalar(A)
+    AiB = _mm3_scalar(Ai, B)
+    CAi = _mm3_scalar(C, Ai)
+    CAiB = _mm3_scalar(C, AiB)
+    S = [D[k] - CAiB[k] for k in range(9)]
+    Si = inv3x3_scalar(S)
+    AiBSi = _mm3_scalar(AiB, Si)
+    TL = [Ai[k] + v for k, v in enumerate(_mm3_scalar(AiBSi, CAi))]
+    BL = [-v for v in _mm3_scalar(Si, CAi)]
+    out = [None] * 36
+    for i in range(3):
+        for j in range(3):
+            out[i * 6 + j] = TL[i * 3 + j]
+            out[i * 6 + j + 3] = -AiBSi[i * 3 + j]
+            out[(i + 3) * 6 + j] = BL[i * 3 + j]
+            out[(i + 3) * 6 + j + 3] = Si[i * 3 + j]
+    return out
+
+
+def blockinv_scalar(c):
+    """Dispatch on component-list length: 9 -> 3x3, 36 -> 6x6."""
+    if len(c) == 9:
+        return inv3x3_scalar(c)
+    if len(c) == 36:
+        return inv6x6_scalar(c)
+    raise NotImplementedError(f'blockinv_scalar: d*d={len(c)}')

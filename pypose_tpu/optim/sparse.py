@@ -673,6 +673,25 @@ class SparseLM:
             C_all = self._stencil_all.precompute_multi(
                 [(blk[1][nm], blk[3][nm]) for blk in blocks])
 
+        # scalarized block-Jacobi precomputation (einsum-CG path): unpack
+        # the [N, t, t] accum blocks into t*t [N] component vectors ONCE
+        # (one transpose pass) so the per-damping inverse runs as fused
+        # elementwise [N]-vector arithmetic.  The matrix-form
+        # _damped_blocks + inv6x6 chain builds ~40 [N, 3, 3] temps, each
+        # (8, 128)-padded to ~40x its logical bytes — measured 26 ms of a
+        # 109 ms LM step at N=1e5 (tools/pgo100k_prof.py, r4).
+        names = list(diagA.keys())
+        scalar_pc = (self.precond != 'chain' and not use_kernel
+                     and len(names) == 1
+                     and accum[names[0]].shape[-1] in (3, 6))
+        if scalar_pc:
+            n0 = names[0]
+            t0 = accum[n0].shape[-1]
+            acc_T = jnp.transpose(accum[n0], (1, 2, 0))      # [t, t, N]
+            pc_comps = [acc_T[i, j] for i in range(t0) for j in range(t0)]
+            pc_diag_cl = [jnp.clip(pc_comps[i * t0 + i], self.min, self.max)
+                          for i in range(t0)]
+
         def solve(damping):
             if use_kernel:
                 from ..ops.pallas_cg import stencil_cg
@@ -700,6 +719,21 @@ class SparseLM:
             scale = {n: 1.0 + damping for n in diagA}
             if self.precond == 'chain':
                 M = self._chain_preconditioner(blocks, accum, scale)
+            elif scalar_pc:
+                from ..ops.smallinv import blockinv_scalar
+                comps = list(pc_comps)
+                for i in range(t0):
+                    comps[i * t0 + i] = (pc_diag_cl[i] * (1.0 + damping)
+                                         + 1e-8)
+                binv = blockinv_scalar(comps)
+
+                def M(x):
+                    xv = x[n0]
+                    y = jnp.stack(
+                        [sum(binv[i * t0 + u] * xv[..., u]
+                             for u in range(t0)) for i in range(t0)],
+                        axis=-1)
+                    return {n0: y}
             else:
                 Binv = self._block_jacobi(accum, scale)
 

@@ -63,3 +63,28 @@ def test_pallas_kernels_interpret(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(pallas_se3.se3_act_fused(X, p)),
         np.asarray(SE3_Act(X, p)), atol=1e-5)
+
+
+def test_scalarized_inverses_match_matrix_forms():
+    """inv3x3_scalar / inv6x6_scalar (component-list forms, used by the
+    SparseLM block-Jacobi preconditioner to avoid (8,128)-padded [N,3,3]
+    temps) must match the matrix closed forms."""
+    import numpy as np
+    import jax.numpy as jnp
+    from pypose_tpu.ops.smallinv import (inv3x3, inv6x6, inv3x3_scalar,
+                                         inv6x6_scalar, blockinv_scalar)
+    rng = np.random.default_rng(3)
+    for d, matf, scalf in ((3, inv3x3, inv3x3_scalar),
+                           (6, inv6x6, inv6x6_scalar)):
+        M = rng.standard_normal((257, d, d)).astype(np.float32)
+        M = M @ M.transpose(0, 2, 1) + d * np.eye(d, dtype=np.float32)
+        comps = [jnp.asarray(M[:, i, j]) for i in range(d) for j in range(d)]
+        out = scalf(comps)
+        assert blockinv_scalar(comps)[0].shape == out[0].shape
+        Ms = jnp.stack([jnp.stack(out[i * d:(i + 1) * d], -1)
+                        for i in range(d)], -2)
+        ref = matf(jnp.asarray(M))
+        rel = float(jnp.max(jnp.abs(Ms - ref)) / jnp.max(jnp.abs(ref)))
+        assert rel < 1e-5, rel
+        ident = jnp.einsum('nij,njk->nik', Ms, jnp.asarray(M))
+        assert float(jnp.max(jnp.abs(ident - jnp.eye(d)))) < 1e-4
