@@ -291,11 +291,38 @@ class IMUPreintegrator(Module):
                      for k in range(9))
                  for i in range(9) for j in range(9)], axis=-1)
 
+        # the 81-column combine unrolls to ~730 HLO ops PER SCAN LEVEL:
+        # great for TPU HBM traffic (no (16, 128)-padded [.., 9, 9]
+        # temps), but XLA:CPU takes ~39 s to compile it at F=20 vs 0.9 s
+        # for the compact matmul combine (measured r4).  Tests and other
+        # non-TPU backends get the matmul form; numerical parity of the
+        # two forms is pinned by tests/module/test_imu.py.
+        import os
+        _cf = os.environ.get('PPT_IMU_COVFORM', 'auto')
+        col_form = (jax.default_backend() == 'tpu') if _cf == 'auto' \
+            else _cf == 'col'
+
         def cov_span(P0, A_core, B_core):
             """Final P of the recursion P_j = A_j P_{j-1} A_j^T + B_j
             over one span, via the flipped-cumprod closed form
             (out_j = A_j @ ... @ A_end) as an O(log m) associative scan
             (imu_preintegrator.py:461-462)."""
+            if not col_form:
+                m = A_core.shape[1]
+                A_ext = jnp.concatenate(
+                    [A_core.reshape(B, m, 9, 9),
+                     jnp.broadcast_to(jnp.eye(9, dtype=dtype),
+                                      (B, 1, 9, 9))], axis=1)
+                B_ext = jnp.concatenate(
+                    [P0.reshape(B, 1, 9, 9), B_core.reshape(B, m, 9, 9)],
+                    axis=1)
+                A_flip = jnp.flip(A_ext, axis=1)
+                scan = jax.lax.associative_scan(
+                    lambda a, b: jnp.matmul(b, a), A_flip, axis=1)
+                A_left = jnp.flip(scan, axis=1)
+                tmp = jnp.matmul(A_left, B_ext)
+                out = jnp.einsum('bfil,bfjl->bij', tmp, A_left)
+                return out.reshape(B, 81)
             A_ext = jnp.concatenate(
                 [A_core, jnp.broadcast_to(eye81, (B, 1, 81))], axis=1)
             B_ext = jnp.concatenate([P0[:, None], B_core], axis=1)

@@ -726,14 +726,18 @@ class SparseLM:
                     comps[i * t0 + i] = (pc_diag_cl[i] * (1.0 + damping)
                                          + 1e-8)
                 binv = blockinv_scalar(comps)
+                # repack ONCE to [N, t, t] and apply with the einsum: an
+                # all-scalarized M apply (36 [N]-vector FMAs on [N, 6]
+                # column slices) costs +42 us/CG-iter from the (8, 128)
+                # lane padding of the column reads — measured SLOWER
+                # end-to-end (73.4 vs 62.7 ms/solve) despite saving the
+                # 28 ms matrix-form build (tools/pc_build_prof.py, r4).
+                Binv = jnp.stack(binv).reshape(t0, t0, -1).transpose(
+                    2, 0, 1)
 
                 def M(x):
-                    xv = x[n0]
-                    y = jnp.stack(
-                        [sum(binv[i * t0 + u] * xv[..., u]
-                             for u in range(t0)) for i in range(t0)],
-                        axis=-1)
-                    return {n0: y}
+                    return {n0: jnp.einsum('ntu,nu->nt', Binv, x[n0],
+                                           precision=_HI)}
             else:
                 Binv = self._block_jacobi(accum, scale)
 
