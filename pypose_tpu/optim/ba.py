@@ -363,8 +363,12 @@ class BundleAdjustment:
             G18 = _gram_cols(Jc, Jp).reshape(-1, 18)               # [O,18]
             inc, incm = obs['pt_inc']
             Gp18 = G18[inc] * incm[..., None]          # [P,D,18] (a*3+k)
-            ohp = jax.nn.one_hot(ci[inc], C, dtype=Jc.dtype) \
-                * incm[..., None]                                  # [P,D,C]
+            # 0/1 incidence mask: exact in bf16, and [P, D, C] is ~1 GB
+            # of f32 at trafalgar scale — store it at the Gram precision
+            _oh_dt = Jc.dtype if self.schur_precision == \
+                jax.lax.Precision.HIGHEST else jnp.bfloat16
+            ohp = jax.nn.one_hot(ci[inc], C, dtype=_oh_dt) \
+                * incm[..., None].astype(_oh_dt)                   # [P,D,C]
 
         def damped(H, damping):
             d = jnp.clip(jnp.diagonal(H, axis1=-2, axis2=-1),
@@ -411,12 +415,24 @@ class BundleAdjustment:
                     [sum(L[:, k, j][:, None] * Gp18[:, :, a * 3 + k]
                          for k in range(3))
                      for j in range(3) for a in range(6)], axis=-1)
-                T1 = jnp.einsum('pdc,pdm->pmc', ohp, Yl18,
-                                precision=_HI).reshape(
-                    self.P, 3, 6, C)                               # [P,3,6,C]
+                # T1 [P, 18, C] is THE HBM sink of the step (1.2 GB f32
+                # at trafalgar scale; form-S measured 19.5 of the 43 ms
+                # step, tools/ba_prof.py r4).  When the Gram runs bf16
+                # (schur_precision DEFAULT) the factor is a refined
+                # preconditioner anyway, so T1 is built AND stored bf16
+                # (f32 accumulation over d) — half the write+read bytes;
+                # ohp is a 0/1 mask times incm, exact in bf16.
+                lo = self.schur_precision != jax.lax.Precision.HIGHEST
+                cdt = jnp.bfloat16 if lo else Yl18.dtype
+                T1 = jnp.einsum(
+                    'pdc,pdm->pmc', ohp.astype(cdt), Yl18.astype(cdt),
+                    precision=None if lo else _HI,
+                    preferred_element_type=jnp.float32).astype(
+                        cdt).reshape(self.P, 3, 6, C)              # [P,3,6,C]
                 M6 = jax.lax.dot_general(
                     T1, T1, (((0, 1), (0, 1)), ((), ())),
-                    precision=self.schur_precision)                # [6,C,6,C]
+                    precision=self.schur_precision,
+                    preferred_element_type=jnp.float32)            # [6,C,6,C]
                 Mfull = jnp.transpose(M6, (1, 0, 3, 2)).reshape(C * 6, C * 6)
                 Sd = jnp.zeros((C, 6, C, 6), Hcc_d.dtype).at[
                     jnp.arange(C), :, jnp.arange(C), :].set(Hcc_d)

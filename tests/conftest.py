@@ -9,6 +9,12 @@ import os
 
 os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
                            + ' --xla_force_host_platform_device_count=8')
+# tests are compile-bound (single-CPU CI, no persistent cache — see NOTE
+# below): backend opt level 0 cuts XLA:CPU compile ~30% (measured r4:
+# 31.7 -> 22.1 s on the heaviest SparseLM parity test) with identical
+# test outcomes.  PPT_TEST_XLA_OPT=1 restores default optimization.
+if os.environ.get('PPT_TEST_XLA_OPT') != '1':
+    os.environ['XLA_FLAGS'] += ' --xla_backend_optimization_level=0'
 os.environ['JAX_PLATFORMS'] = 'cpu'
 
 import jax  # noqa: E402

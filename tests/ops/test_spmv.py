@@ -114,10 +114,12 @@ def test_coupling_matvec_noncontiguous_chain():
     np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_sparselm_coupling_matches_generic():
     """SparseLM's coupling-block matvec path reproduces the generic
     gather/scatter path: identical LM trajectories on a weighted,
-    kernelized pose graph."""
+    kernelized pose graph.  (Slow tier: compiles TWO whole-loop LM
+    programs, ~33 s cold on the single-CPU gate box.)"""
     import jax.numpy as jnp
     from pypose_tpu.datasets import synthetic_sphere
     from pypose_tpu.optim.sparse import SparseLM, pgo_factor
@@ -185,6 +187,8 @@ def test_stencil_refuses_scattered_graphs():
 
 
 def test_sparselm_picks_stencil_for_sphere():
+    """Construction-time check only (the stepping variant below is slow
+    tier: one whole-loop LM compile is ~25 s cold on the gate box)."""
     from pypose_tpu.datasets import synthetic_sphere
     from pypose_tpu.optim.sparse import SparseLM, pgo_factor
     from pypose_tpu.ops.spmv import StencilSpMV
@@ -194,6 +198,18 @@ def test_sparselm_picks_stencil_for_sphere():
                    fixed={'poses': jnp.zeros(64, bool).at[0].set(True)},
                    cg_iter=40)
     assert all(isinstance(s, StencilSpMV) for s in opt._spmv)
+    assert opt._stencil_all is not None
+
+
+@pytest.mark.slow
+def test_sparselm_stencil_steps_decrease():
+    from pypose_tpu.datasets import synthetic_sphere
+    from pypose_tpu.optim.sparse import SparseLM, pgo_factor
+    ds = synthetic_sphere(64, seed=2)
+    opt = SparseLM({'poses': ds['nodes']},
+                   [pgo_factor(ds['edges'], ds['poses'])],
+                   fixed={'poses': jnp.zeros(64, bool).at[0].set(True)},
+                   cg_iter=40)
     l0 = opt.step()
     l1 = opt.step()
     assert l1 < l0

@@ -87,10 +87,12 @@ def test_bal_native_matches_python(tmp_path):
                                np.asarray(b2['poses'].tensor()), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_g2o_roundtrip_and_weighted_pgo(tmp_path):
     """save_g2o -> load_g2o (native parser) round-trips bit-exactly, and
     the 6x6 information matrices drive a weighted optimization
-    (reference workload: examples/module/pgo/pgo.py:45-85 with infos)."""
+    (reference workload: examples/module/pgo/pgo.py:45-85 with infos).
+    Slow tier: the weighted LM optimize compile is ~20 s cold."""
     from pypose_tpu.datasets import save_g2o
     from pypose_tpu.optim.sparse import pgo
 
