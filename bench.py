@@ -615,6 +615,50 @@ def bench_pgo_100k():
         f'{opt.history[0]:.3e} -> {loss:.3e}')
 
 
+def bench_pgo_groups(N=10_000):
+    """Secondary: SO3 rotation averaging + Sim3 scale-drift graph through
+    the same group-generic `pgo_factor` (capability beyond the reference's
+    SE3-only pgo, examples/module/pgo/pgo.py) — sources the README row."""
+    import numpy as np
+    import jax.numpy as jnp
+    import pypose_tpu as pp
+    from pypose_tpu.optim.sparse import SparseLM, pgo_factor
+    from pypose_tpu.optim.strategy import TrustRegion
+
+    ii = jnp.arange(N - 1)
+    rng = np.random.default_rng(0)
+    loops = rng.integers(0, N, size=(N // 10, 2))
+    loops = loops[loops[:, 0] != loops[:, 1]]
+    edges = jnp.concatenate([jnp.stack([ii, ii + 1], 1),
+                             jnp.array([[N - 1, 0]]),
+                             jnp.asarray(loops, jnp.int32)], 0)
+    for name, mk_truth, mk_noise in [
+        ('so3-averaging',
+         lambda k: pp.randn_SO3(N, key=k),
+         lambda k: pp.randn_SO3(N, sigma=0.1, key=k)),
+        ('sim3-pgo',
+         lambda k: pp.randn_Sim3(N, sigma=(0.3, 0.2, 0.1), key=k),
+         lambda k: pp.randn_Sim3(N, sigma=(0.1, 0.05, 0.05), key=k)),
+    ]:
+        truth = mk_truth(jax.random.PRNGKey(0))
+        noisy = truth @ mk_noise(jax.random.PRNGKey(1))
+        Z = truth[edges[:, 0]].Inv() @ truth[edges[:, 1]]
+        fixed = {'x': jnp.zeros(N, bool).at[0].set(True)}
+        opt = SparseLM({'x': noisy}, [pgo_factor(edges, Z, name='x')],
+                       strategy=TrustRegion(radius=1e4), fixed=fixed,
+                       cg_iter=100, cg_tol=1e-8)
+        opt.optimize(steps=6, decreasing=1e-10, patience=2)  # compile+run
+        opt.params = {'x': noisy}
+        opt.strategy_state = opt.strategy.init(jnp.float32)
+        t0 = time.perf_counter()
+        loss = opt.optimize(steps=6, decreasing=1e-10, patience=2)
+        dt = time.perf_counter() - t0
+        log(f'[{name}] {N} nodes, {edges.shape[0]} edges: '
+            f'{len(opt.history)} warm LM steps in {dt:.3f}s '
+            f'({dt/len(opt.history)*1e3:.1f} ms/step), chi2 '
+            f'{opt.history[0]:.3e} -> {loss:.3e}')
+
+
 def bench_filters(T=1000):
     """Secondary: EKF over a 1000-step rollout as one lax.scan program
     (BASELINE config: filters on an NLS system, 1k-step rollout)."""
@@ -699,6 +743,7 @@ def main():
         ('ba', bench_ba, 60),
         ('ba-trafalgar', bench_ba_trafalgar, 120),
         ('pgo-chain', bench_pgo_chain, 60),
+        ('pgo-groups', bench_pgo_groups, 120),
     ]
     for name, fn, cost in sections:
         if remaining() < cost:

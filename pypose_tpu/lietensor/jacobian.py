@@ -27,6 +27,9 @@ __all__ = [
     'vec2skew', 'so3_Jl', 'so3_Jl_inv', 'so3_Jr', 'so3_adj', 'calcQ',
     'se3_Jl', 'se3_Jl_inv', 'se3_adj', 'rxso3_Ws', 'rxso3_Jl', 'rxso3_Jl_inv',
     'rxso3_adj', 'sim3_adj', 'sim3_Jl', 'sim3_Jl_inv',
+    'so3_Jl_apply', 'so3_Jl_inv_apply', 'calcQ_apply', 'se3_Jl_apply',
+    'se3_Jl_inv_apply', 'rxso3_Ws_apply', 'so3_adj_apply', 'se3_adj_apply',
+    'rxso3_adj_apply', 'sim3_adj_apply',
 ]
 
 # Taylor-series switch points, per dtype.  Every truncated series below
@@ -135,7 +138,17 @@ def coefQ3(theta):
 
 
 # ---------------------------------------------------------------------------
-# so3 / SO3
+# component (structure-of-[*batch]-vectors) helpers
+#
+# XLA tiles a buffer's two MINOR dims to (8, 128), so any [N, 3, 3] /
+# [N, 6, 6] intermediate moves ~100x its logical bytes through HBM
+# (measured r4, tools/microchain_prof.py: matrix-form calcQ 10.0 ms and
+# se3_Jl 11.4 ms at N=1e5 vs a ~0.1 ms fused-elementwise budget).  The
+# builders below therefore compute every ENTRY as a plain [*batch] array
+# — tuples of scalars, cross-product identities instead of matmuls — and
+# materialize exactly ONE stacked output.  The `*_apply` forms never
+# build a matrix at all (pure jnp.cross chains on [*, 3] arrays); the
+# hot custom_jvp rules in operation.py use those.
 # ---------------------------------------------------------------------------
 
 def _eye(x, n):
@@ -143,21 +156,108 @@ def _eye(x, n):
     return jnp.broadcast_to(jnp.eye(n, dtype=x.dtype), batch + (n, n))
 
 
+def _tskew(v):
+    x, y, z = v
+    o = jnp.zeros_like(x)
+    return ((o, -z, y), (z, o, -x), (-y, x, o))
+
+
+def _tmm(A, B):
+    return tuple(tuple(sum(A[i][k] * B[k][j] for k in range(3))
+                       for j in range(3)) for i in range(3))
+
+
+def _tadd(*Ms):
+    return tuple(tuple(sum(M[i][j] for M in Ms) for j in range(3))
+                 for i in range(3))
+
+
+def _tscale(s, M):
+    return tuple(tuple(s * M[i][j] for j in range(3)) for i in range(3))
+
+
+def _tstack(rows):
+    """Stack a list of row-tuples of [*batch] entries into one array."""
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def _theta_scalar(phi):
+    """Angle as a plain [*batch] array from a 3-tuple of components."""
+    return jnp.sqrt(jnp.maximum(
+        phi[0] * phi[0] + phi[1] * phi[1] + phi[2] * phi[2], 1e-36))
+
+
+def _so3_Jl_t(phi):
+    """so3_Jl as a 3x3 tuple: (1 - B th^2) I + A K + B phi phi^T
+    (using K^2 = phi phi^T - th^2 I)."""
+    th = _theta_scalar(phi)
+    A, B = cosc(th), sinc3(th)
+    x, y, z = phi
+    d = 1.0 - B * th * th
+    return ((d + B * x * x, -A * z + B * x * y, A * y + B * x * z),
+            (A * z + B * x * y, d + B * y * y, -A * x + B * y * z),
+            (-A * y + B * x * z, A * x + B * y * z, d + B * z * z))
+
+
+def _so3_Jl_inv_t(phi):
+    """so3_Jl_inv as a 3x3 tuple: (1 - C th^2) I - K/2 + C phi phi^T."""
+    th = _theta_scalar(phi)
+    C = coef_Jl_inv(th)
+    x, y, z = phi
+    d = 1.0 - C * th * th
+    return ((d + C * x * x, 0.5 * z + C * x * y, -0.5 * y + C * x * z),
+            (-0.5 * z + C * x * y, d + C * y * y, 0.5 * x + C * y * z),
+            (0.5 * y + C * x * z, -0.5 * x + C * y * z, d + C * z * z))
+
+
+def _calcQ_t(tau, phi):
+    """calcQ as a 3x3 tuple (same coefficient chain as :func:`calcQ`)."""
+    th = _theta_scalar(phi)
+    Tau, Phi = _tskew(tau), _tskew(phi)
+    c1, c2, c3 = sinc3(th), coefQ2(th), coefQ3(th)
+    PT, TP = _tmm(Phi, Tau), _tmm(Tau, Phi)
+    PTP = _tmm(PT, Phi)
+    return _tadd(
+        _tscale(0.5, Tau),
+        _tscale(c1, _tadd(PT, TP, PTP)),
+        _tscale(c2, _tadd(_tmm(Phi, PT), _tmm(TP, Phi),
+                          _tscale(-3.0, PTP))),
+        _tscale(c3, _tadd(_tmm(PTP, Phi), _tmm(Phi, PTP))))
+
+
+def _unpack3(x):
+    return (x[..., 0], x[..., 1], x[..., 2])
+
+
+# ---------------------------------------------------------------------------
+# so3 / SO3
+# ---------------------------------------------------------------------------
+
 def so3_Jl(x):
     """Left Jacobian of SO(3): I + A K + B K^2.  Ref: operation.py:7-20."""
-    K = vec2skew(x)
-    theta, _ = _theta(x)
-    A = cosc(theta)[..., None]
-    B = sinc3(theta)[..., None]
-    return _eye(x, 3) + A * K + B * _mm(K, K)
+    return _tstack(_so3_Jl_t(_unpack3(x)))
 
 
 def so3_Jl_inv(x):
     """Inverse left Jacobian of SO(3).  Ref: operation.py:23-32."""
-    K = vec2skew(x)
+    return _tstack(_so3_Jl_inv_t(_unpack3(x)))
+
+
+def so3_Jl_apply(x, v):
+    """``so3_Jl(x) @ v`` without building the matrix:
+    v + A (x x v) + B (x x (x x v))."""
     theta, _ = _theta(x)
-    C = coef_Jl_inv(theta)[..., None]
-    return _eye(x, 3) - 0.5 * K + C * _mm(K, K)
+    A, B = cosc(theta), sinc3(theta)
+    xv = jnp.cross(x, v)
+    return v + A * xv + B * jnp.cross(x, xv)
+
+
+def so3_Jl_inv_apply(x, v):
+    """``so3_Jl_inv(x) @ v`` without building the matrix."""
+    theta, _ = _theta(x)
+    C = coef_Jl_inv(theta)
+    xv = jnp.cross(x, v)
+    return v - 0.5 * xv + C * jnp.cross(x, xv)
 
 
 def so3_Jr(x):
@@ -169,43 +269,101 @@ def so3_adj(x):
     return vec2skew(x)
 
 
+def so3_adj_apply(x, v):
+    """``so3_adj(x) @ v = x x v`` (no matrix)."""
+    return jnp.cross(x, v)
+
+
+def se3_adj_apply(x, v):
+    """``se3_adj(x) @ v`` — [[Phi, Tau], [0, Phi]] as cross products."""
+    tau, phi = x[..., :3], x[..., 3:6]
+    top = jnp.cross(phi, v[..., :3]) + jnp.cross(tau, v[..., 3:6])
+    return jnp.concatenate([top, jnp.cross(phi, v[..., 3:6])], axis=-1)
+
+
+def rxso3_adj_apply(x, v):
+    """``rxso3_adj(x) @ v`` — only the skew(phi) block is nonzero."""
+    top = jnp.cross(x[..., :3], v[..., :3])
+    return jnp.concatenate(
+        [top, jnp.zeros(top.shape[:-1] + (1,), top.dtype)], axis=-1)
+
+
+def sim3_adj_apply(x, v):
+    """``sim3_adj(x) @ v`` in component form (see :func:`sim3_adj`)."""
+    tau, phi, sigma = x[..., :3], x[..., 3:6], x[..., 6:7]
+    top = (jnp.cross(phi, v[..., :3]) + sigma * v[..., :3]
+           + jnp.cross(tau, v[..., 3:6]) - tau * v[..., 6:7])
+    mid = jnp.cross(phi, v[..., 3:6])
+    return jnp.concatenate(
+        [top, mid, jnp.zeros(top.shape[:-1] + (1,), top.dtype)], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # se3 (tangent order: [tau(3), phi(3)])
 # ---------------------------------------------------------------------------
 
 def calcQ(x):
     """Q block of the SE(3) left Jacobian.  Ref: operation.py:37-58."""
-    tau, phi = x[..., :3], x[..., 3:6]
-    Tau, Phi = vec2skew(tau), vec2skew(phi)
+    return _tstack(_calcQ_t(_unpack3(x[..., :3]), _unpack3(x[..., 3:6])))
+
+
+def calcQ_apply(tau, phi, v):
+    """``calcQ([tau, phi]) @ v`` as a chain of cross products (no matrix)."""
     theta, _ = _theta(phi)
-    c1 = sinc3(theta)[..., None]
-    c2 = coefQ2(theta)[..., None]
-    c3 = coefQ3(theta)[..., None]
-    PT, TP = _mm(Phi, Tau), _mm(Tau, Phi)
-    PTP = _mm(PT, Phi)
-    return (0.5 * Tau + c1 * (PT + TP + PTP)
-            + c2 * (_mm(Phi, PT) + _mm(TP, Phi) - 3.0 * PTP)
-            + c3 * (_mm(PTP, Phi) + _mm(Phi, PTP)))
+    c1, c2, c3 = sinc3(theta), coefQ2(theta), coefQ3(theta)
+    tv = jnp.cross(tau, v)
+    pv = jnp.cross(phi, v)
+    ptv = jnp.cross(phi, tv)          # Phi Tau v
+    tpv = jnp.cross(tau, pv)          # Tau Phi v
+    ppv = jnp.cross(phi, pv)          # Phi Phi v
+    ptpv = jnp.cross(phi, tpv)        # Phi Tau Phi v
+    pptv = jnp.cross(phi, ptv)        # Phi Phi Tau v
+    tppv = jnp.cross(tau, ppv)        # Tau Phi Phi v
+    return (0.5 * tv + c1 * (ptv + tpv + ptpv)
+            + c2 * (pptv + tppv - 3.0 * ptpv)
+            + c3 * (jnp.cross(phi, tppv) + jnp.cross(phi, ptpv)))
+
+
+def _se3_rows(TL, TR):
+    """Assemble [[TL, TR], [0, TL]] rows from 3x3 tuples."""
+    zero = jnp.zeros_like(TL[0][0])
+    rows = [TL[i] + TR[i] for i in range(3)]
+    rows += [(zero, zero, zero) + TL[i] for i in range(3)]
+    return rows
 
 
 def se3_Jl(x):
     """6x6 left Jacobian of SE(3): [[Jl, Q], [0, Jl]].  Ref: operation.py:61-65."""
-    J = so3_Jl(x[..., 3:6])
-    Q = calcQ(x)
-    Z = jnp.zeros_like(J)
-    top = jnp.concatenate([J, Q], axis=-1)
-    bot = jnp.concatenate([Z, J], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    tau, phi = _unpack3(x[..., :3]), _unpack3(x[..., 3:6])
+    return _tstack(_se3_rows(_so3_Jl_t(phi), _calcQ_t(tau, phi)))
 
 
 def se3_Jl_inv(x):
     """Inverse 6x6 left Jacobian of SE(3).  Ref: operation.py:68-75."""
-    Ji = so3_Jl_inv(x[..., 3:6])
-    Q = calcQ(x)
-    Z = jnp.zeros_like(Ji)
-    top = jnp.concatenate([Ji, -_mm(_mm(Ji, Q), Ji)], axis=-1)
-    bot = jnp.concatenate([Z, Ji], axis=-1)
-    return jnp.concatenate([top, bot], axis=-2)
+    tau, phi = _unpack3(x[..., :3]), _unpack3(x[..., 3:6])
+    A = _so3_Jl_inv_t(phi)
+    Q = _calcQ_t(tau, phi)
+    B = _tscale(-1.0, _tmm(_tmm(A, Q), A))
+    return _tstack(_se3_rows(A, B))
+
+
+def se3_Jl_apply(x, v):
+    """``se3_Jl(x) @ v`` without building the matrix:
+    [[Jl, Q], [0, Jl]] @ [v1, v2] = [Jl v1 + Q v2, Jl v2]."""
+    tau, phi = x[..., :3], x[..., 3:6]
+    v1, v2 = v[..., :3], v[..., 3:6]
+    top = so3_Jl_apply(phi, v1) + calcQ_apply(tau, phi, v2)
+    return jnp.concatenate([top, so3_Jl_apply(phi, v2)], axis=-1)
+
+
+def se3_Jl_inv_apply(x, v):
+    """``se3_Jl_inv(x) @ v`` without building the matrix:
+    [[A, -A Q A], [0, A]] @ [v1, v2] = [A (v1 - Q (A v2)), A v2]."""
+    tau, phi = x[..., :3], x[..., 3:6]
+    v1, v2 = v[..., :3], v[..., 3:6]
+    Av2 = so3_Jl_inv_apply(phi, v2)
+    top = so3_Jl_inv_apply(phi, v1 - calcQ_apply(tau, phi, Av2))
+    return jnp.concatenate([top, Av2], axis=-1)
 
 
 def se3_adj(x):
@@ -222,8 +380,9 @@ def se3_adj(x):
 # rxso3 (tangent order: [phi(3), sigma(1)])
 # ---------------------------------------------------------------------------
 
-def rxso3_Ws(x):
-    r"""W(phi, sigma) matrix used by Sim(3) exp/log.  Ref: operation.py:85-129.
+def _rxso3_Ws_coefs(x):
+    r"""Coefficients (A, B, C) of the W(phi, sigma) matrix used by Sim(3)
+    exp/log: W = A K + B K^2 + C I.  Ref: operation.py:85-129.
 
     W = A K + B K^2 + C I with K = skew(phi), defined by the integral
     :math:`W = \int_0^1 e^{s\sigma} \exp(s\hat\phi)\,ds`, i.e.
@@ -301,12 +460,30 @@ def rxso3_Ws(x):
 
     A = jnp.where(t_small, jnp.where(both_small, A3, A2), A1)
     B = jnp.where(t_small, jnp.where(both_small, B3, B2), B1)
+    return A, B, C
 
-    K = vec2skew(phi)
-    A = A[..., None, None]
-    B = B[..., None, None]
-    Cm = C[..., None, None]
-    return A * K + B * _mm(K, K) + Cm * _eye(phi, 3)
+
+def rxso3_Ws(x):
+    """W matrix of Sim(3) exp/log — see :func:`_rxso3_Ws_coefs`.
+    Component-built: A K + B (phi phi^T - th^2 I) + C I, one stack."""
+    A, B, C = _rxso3_Ws_coefs(x)
+    phi = _unpack3(x[..., :3])
+    th = _theta_scalar(phi)
+    px, py, pz = phi
+    d = C - B * th * th
+    return _tstack((
+        (d + B * px * px, -A * pz + B * px * py, A * py + B * px * pz),
+        (A * pz + B * px * py, d + B * py * py, -A * px + B * py * pz),
+        (-A * py + B * px * pz, A * px + B * py * pz, d + B * pz * pz)))
+
+
+def rxso3_Ws_apply(x, tau):
+    """``rxso3_Ws(x) @ tau`` without building the matrix."""
+    A, B, C = _rxso3_Ws_coefs(x)
+    phi = x[..., :3]
+    pt = jnp.cross(phi, tau)
+    return (C[..., None] * tau + A[..., None] * pt
+            + B[..., None] * jnp.cross(phi, pt))
 
 
 def rxso3_Jl(x):

@@ -43,6 +43,9 @@ from .jacobian import (
     vec2skew, so3_Jl, so3_Jl_inv, so3_adj, calcQ, se3_Jl, se3_Jl_inv,
     se3_adj, rxso3_Ws, rxso3_Jl, rxso3_Jl_inv, rxso3_adj, sim3_adj,
     sim3_Jl, sim3_Jl_inv, sinc1, cosc, _theta, _guard, _CUT,
+    so3_Jl_apply, so3_Jl_inv_apply, se3_Jl_apply, se3_Jl_inv_apply,
+    rxso3_Ws_apply, so3_adj_apply, se3_adj_apply, rxso3_adj_apply,
+    sim3_adj_apply,
 )
 
 
@@ -101,6 +104,35 @@ def _qrot(X, p):
     p = jnp.broadcast_to(p, b + (3,))
     uv = 2.0 * jnp.cross(Xv, p)
     return p + jnp.broadcast_to(Xw, b + (1,)) * uv + jnp.cross(Xv, uv)
+
+
+# ---------------------------------------------------------------------------
+# group-adjoint APPLY forms (no [*, d, d] matrix is ever built — the
+# (8,128)-tile padding on two-small-minor-dim temps costs ~100x the
+# logical HBM bytes; see jacobian.py header note)
+# ---------------------------------------------------------------------------
+
+def _SE3_Adj_apply(X, v):
+    """``SE3_Adj(X) @ v`` = [R v1 + t x (R v2), R v2]."""
+    t, q = X[..., :3], X[..., 3:7]
+    Rv2 = _qrot(q, v[..., 3:6])
+    return jnp.concatenate(
+        [_qrot(q, v[..., :3]) + jnp.cross(t, Rv2), Rv2], axis=-1)
+
+
+def _RxSO3_Adj_apply(X, v):
+    """``RxSO3_Adj(X) @ v`` — Adj = blockdiag(R, 1)."""
+    return jnp.concatenate(
+        [_qrot(X[..., :4], v[..., :3]), v[..., 3:4]], axis=-1)
+
+
+def _Sim3_Adj_apply(X, v):
+    """``Sim3_Adj(X) @ v`` = [s R v1 + t x (R v2) - t v3, R v2, v3]."""
+    t, q, s = X[..., :3], X[..., 3:7], X[..., 7:8]
+    Rv2 = _qrot(q, v[..., 3:6])
+    top = (s * _qrot(q, v[..., :3]) + jnp.cross(t, Rv2)
+           - t * v[..., 6:7])
+    return jnp.concatenate([top, Rv2, v[..., 6:7]], axis=-1)
 
 
 # ---------------------------------------------------------------------------
@@ -247,7 +279,7 @@ def _so3_Exp_jvp(primals, tangents):
     x, = primals
     dx, = tangents
     out = so3_Exp(x)
-    tan = _mv(so3_Jl(x), dx)
+    tan = so3_Jl_apply(x, dx)
     return out, _pad(tan, out)
 
 
@@ -287,7 +319,7 @@ def _SO3_Log_jvp(primals, tangents):
     X, = primals
     dX, = tangents
     out = SO3_Log(X)
-    tan = _mv(so3_Jl_inv(out), dX[..., :3])
+    tan = so3_Jl_inv_apply(out, dX[..., :3])
     return out, _bcast(tan, out)
 
 
@@ -295,7 +327,7 @@ def _SO3_Log_jvp(primals, tangents):
 def se3_Exp(x):
     """se3 -> SE3.  t = Jl(phi) tau, q = Exp(phi).  Ref: operation.py:398-418."""
     tau, phi = x[..., :3], x[..., 3:6]
-    t = _mv(so3_Jl(phi), tau)
+    t = so3_Jl_apply(phi, tau)
     q = so3_Exp(phi)
     return jnp.concatenate([t, q], axis=-1)
 
@@ -305,7 +337,7 @@ def _se3_Exp_jvp(primals, tangents):
     x, = primals
     dx, = tangents
     out = se3_Exp(x)
-    tan = _mv(se3_Jl(x), dx)
+    tan = se3_Jl_apply(x, dx)
     return out, _pad(tan, out)
 
 
@@ -313,7 +345,7 @@ def _se3_Exp_jvp(primals, tangents):
 def SE3_Log(X):
     """SE3 -> se3.  phi = Log(q), tau = Jl_inv(phi) t.  Ref: operation.py:373-395."""
     phi = SO3_Log(X[..., 3:7])
-    tau = _mv(so3_Jl_inv(phi), X[..., :3])
+    tau = so3_Jl_inv_apply(phi, X[..., :3])
     return jnp.concatenate([tau, phi], axis=-1)
 
 
@@ -322,7 +354,7 @@ def _SE3_Log_jvp(primals, tangents):
     X, = primals
     dX, = tangents
     out = SE3_Log(X)
-    tan = _mv(se3_Jl_inv(out), dX[..., :6])
+    tan = se3_Jl_inv_apply(out, dX[..., :6])
     return out, _bcast(tan, out)
 
 
@@ -339,7 +371,8 @@ def _rxso3_Exp_jvp(primals, tangents):
     x, = primals
     dx, = tangents
     out = rxso3_Exp(x)
-    tan = _mv(rxso3_Jl(x), dx)
+    tan = jnp.concatenate(
+        [so3_Jl_apply(x[..., :3], dx[..., :3]), dx[..., 3:4]], axis=-1)
     return out, _pad(tan, out)
 
 
@@ -356,14 +389,16 @@ def _RxSO3_Log_jvp(primals, tangents):
     X, = primals
     dX, = tangents
     out = RxSO3_Log(X)
-    tan = _mv(rxso3_Jl_inv(out), dX[..., :4])
+    tan = jnp.concatenate(
+        [so3_Jl_inv_apply(out[..., :3], dX[..., :3]), dX[..., 3:4]],
+        axis=-1)
     return out, _bcast(tan, out)
 
 
 @jax.custom_jvp
 def sim3_Exp(x):
     """sim3 -> Sim3.  t = Ws(phi, sigma) tau.  Ref: operation.py:492-513."""
-    t = _mv(rxso3_Ws(x[..., 3:7]), x[..., :3])
+    t = rxso3_Ws_apply(x[..., 3:7], x[..., :3])
     qs = rxso3_Exp(x[..., 3:7])
     return jnp.concatenate([t, qs], axis=-1)
 
@@ -410,7 +445,7 @@ def _SO3_Act_jvp(primals, tangents):
     X, p = primals
     dX, dp = tangents
     out = SO3_Act(X, p)
-    tan = _mv(SO3_Act_Jacobian(out), dX[..., :3]) + _mv(SO3_Matrix(X), dp)
+    tan = jnp.cross(dX[..., :3], out) + _qrot(X, dp)
     return out, _bcast(tan, out)
 
 
@@ -425,8 +460,8 @@ def _SE3_Act_jvp(primals, tangents):
     X, p = primals
     dX, dp = tangents
     out = SE3_Act(X, p)
-    tan = (_mv(SE3_Act_Jacobian(out), dX[..., :6])
-           + _mv(SO3_Matrix(X[..., 3:7]), dp))
+    tan = (dX[..., :3] + jnp.cross(dX[..., 3:6], out)
+           + _qrot(X[..., 3:7], dp))
     return out, _bcast(tan, out)
 
 
@@ -441,8 +476,8 @@ def _RxSO3_Act_jvp(primals, tangents):
     X, p = primals
     dX, dp = tangents
     out = RxSO3_Act(X, p)
-    tan = (_mv(RxSO3_Act_Jacobian(out), dX[..., :4])
-           + _mv(RxSO3_Matrix(X), dp))
+    tan = (jnp.cross(dX[..., :3], out) + out * dX[..., 3:4]
+           + X[..., 4:5] * _qrot(X[..., :4], dp))
     return out, _bcast(tan, out)
 
 
@@ -457,8 +492,9 @@ def _Sim3_Act_jvp(primals, tangents):
     X, p = primals
     dX, dp = tangents
     out = Sim3_Act(X, p)
-    tan = (_mv(Sim3_Act_Jacobian(out), dX[..., :7])
-           + _mv(RxSO3_Matrix(X[..., 3:8]), dp))
+    tan = (dX[..., :3] + jnp.cross(dX[..., 3:6], out)
+           + out * dX[..., 6:7]
+           + X[..., 7:8] * _qrot(X[..., 3:7], dp))
     return out, _bcast(tan, out)
 
 
@@ -477,7 +513,8 @@ def _SO3_Act4_jvp(primals, tangents):
     X, p = primals
     dX, dp = tangents
     out = SO3_Act4(X, p)
-    tan = _mv(SO3_Act4_Jacobian(out), dX[..., :3]) + _mv(SO3_Matrix4x4(X), dp)
+    top = jnp.cross(dX[..., :3], out[..., :3]) + _qrot(X, dp[..., :3])
+    tan = jnp.concatenate([top, dp[..., 3:4]], axis=-1)
     return out, _bcast(tan, out)
 
 
@@ -495,7 +532,10 @@ def _SE3_Act4_jvp(primals, tangents):
     X, p = primals
     dX, dp = tangents
     out = SE3_Act4(X, p)
-    tan = _mv(SE3_Act4_Jacobian(out), dX[..., :6]) + _mv(SE3_Matrix4x4(X), dp)
+    top = (out[..., 3:4] * dX[..., :3]
+           + jnp.cross(dX[..., 3:6], out[..., :3])
+           + _qrot(X[..., 3:7], dp[..., :3]) + X[..., :3] * dp[..., 3:4])
+    tan = jnp.concatenate([top, dp[..., 3:4]], axis=-1)
     return out, _bcast(tan, out)
 
 
@@ -513,8 +553,10 @@ def _RxSO3_Act4_jvp(primals, tangents):
     X, p = primals
     dX, dp = tangents
     out = RxSO3_Act4(X, p)
-    tan = (_mv(RxSO3_Act4_Jacobian(out), dX[..., :4])
-           + _mv(RxSO3_Matrix4x4(X), dp))
+    top = (jnp.cross(dX[..., :3], out[..., :3])
+           + out[..., :3] * dX[..., 3:4]
+           + X[..., 4:5] * _qrot(X[..., :4], dp[..., :3]))
+    tan = jnp.concatenate([top, dp[..., 3:4]], axis=-1)
     return out, _bcast(tan, out)
 
 
@@ -532,8 +574,12 @@ def _Sim3_Act4_jvp(primals, tangents):
     X, p = primals
     dX, dp = tangents
     out = Sim3_Act4(X, p)
-    tan = (_mv(Sim3_Act4_Jacobian(out), dX[..., :7])
-           + _mv(Sim3_Matrix4x4(X), dp))
+    top = (out[..., 3:4] * dX[..., :3]
+           + jnp.cross(dX[..., 3:6], out[..., :3])
+           + out[..., :3] * dX[..., 6:7]
+           + X[..., 7:8] * _qrot(X[..., 3:7], dp[..., :3])
+           + X[..., :3] * dp[..., 3:4])
+    tan = jnp.concatenate([top, dp[..., 3:4]], axis=-1)
     return out, _bcast(tan, out)
 
 
@@ -552,7 +598,7 @@ def _SO3_Mul_jvp(primals, tangents):
     X, Y = primals
     dX, dY = tangents
     out = SO3_Mul(X, Y)
-    tan = dX[..., :3] + _mv(SO3_Adj(X), dY[..., :3])
+    tan = dX[..., :3] + _qrot(X, dY[..., :3])
     return out, _pad(tan, out)
 
 
@@ -571,7 +617,7 @@ def _SE3_Mul_jvp(primals, tangents):
     X, Y = primals
     dX, dY = tangents
     out = SE3_Mul(X, Y)
-    tan = dX[..., :6] + _mv(SE3_Adj(X), dY[..., :6])
+    tan = dX[..., :6] + _SE3_Adj_apply(X, dY[..., :6])
     return out, _pad(tan, out)
 
 
@@ -590,7 +636,7 @@ def _RxSO3_Mul_jvp(primals, tangents):
     X, Y = primals
     dX, dY = tangents
     out = RxSO3_Mul(X, Y)
-    tan = dX[..., :4] + _mv(RxSO3_Adj(X), dY[..., :4])
+    tan = dX[..., :4] + _RxSO3_Adj_apply(X, dY[..., :4])
     return out, _pad(tan, out)
 
 
@@ -609,7 +655,7 @@ def _Sim3_Mul_jvp(primals, tangents):
     X, Y = primals
     dX, dY = tangents
     out = Sim3_Mul(X, Y)
-    tan = dX[..., :7] + _mv(Sim3_Adj(X), dY[..., :7])
+    tan = dX[..., :7] + _Sim3_Adj_apply(X, dY[..., :7])
     return out, _pad(tan, out)
 
 
@@ -628,7 +674,7 @@ def _SO3_Inv_jvp(primals, tangents):
     X, = primals
     dX, = tangents
     out = SO3_Inv(X)
-    tan = -_mv(SO3_Adj(out), dX[..., :3])
+    tan = -_qrot(out, dX[..., :3])
     return out, _pad(tan, out)
 
 
@@ -645,7 +691,7 @@ def _SE3_Inv_jvp(primals, tangents):
     X, = primals
     dX, = tangents
     out = SE3_Inv(X)
-    tan = -_mv(SE3_Adj(out), dX[..., :6])
+    tan = -_SE3_Adj_apply(out, dX[..., :6])
     return out, _pad(tan, out)
 
 
@@ -662,7 +708,7 @@ def _RxSO3_Inv_jvp(primals, tangents):
     X, = primals
     dX, = tangents
     out = RxSO3_Inv(X)
-    tan = -_mv(RxSO3_Adj(out), dX[..., :4])
+    tan = -_RxSO3_Adj_apply(out, dX[..., :4])
     return out, _pad(tan, out)
 
 
@@ -679,7 +725,7 @@ def _Sim3_Inv_jvp(primals, tangents):
     X, = primals
     dX, = tangents
     out = Sim3_Inv(X)
-    tan = -_mv(Sim3_Adj(out), dX[..., :7])
+    tan = -_Sim3_Adj_apply(out, dX[..., :7])
     return out, _pad(tan, out)
 
 
@@ -687,26 +733,25 @@ def _Sim3_Inv_jvp(primals, tangents):
 # AdjXa / AdjTXa
 # ---------------------------------------------------------------------------
 
-def _make_adjxa(Adj_fn, adj_fn, tan_dim):
+def _make_adjxa(Adj_apply, adj_apply, tan_dim):
     @jax.custom_jvp
     def AdjXa(X, a):
-        return _mv(Adj_fn(X), a)
+        return Adj_apply(X, a)
 
     @AdjXa.defjvp
     def _jvp(primals, tangents):
         X, a = primals
         dX, da = tangents
-        A = Adj_fn(X)
-        out = _mv(A, a)
+        out = AdjXa(X, a)
         # out(t) = Adj(Exp(t d) X) a = Adj(Exp(t d)) out ; d/dt = ad(d) out
         # = -ad(out) d  (Ref backward: operation.py:743-748)
-        tan = -_mv(adj_fn(out), dX[..., :tan_dim]) + _mv(A, da)
+        tan = -adj_apply(out, dX[..., :tan_dim]) + Adj_apply(X, da)
         return out, _bcast(tan, out)
 
     return AdjXa
 
 
-def _make_adjtxa(AdjXa_fn, Inv_fn, adj_fn, tan_dim):
+def _make_adjtxa(AdjXa_fn, Inv_fn, adj_apply, tan_dim):
     @jax.custom_jvp
     def AdjTXa(X, a):
         return AdjXa_fn(Inv_fn(X), a)
@@ -718,22 +763,22 @@ def _make_adjtxa(AdjXa_fn, Inv_fn, adj_fn, tan_dim):
         Xinv = Inv_fn(X)
         out = AdjXa_fn(Xinv, a)
         # out(t) = Adj(X^{-1} Exp(-t d)) a; d/dt = Adj(X^{-1}) ad(a) d
-        tan = (AdjXa_fn(Xinv, _mv(adj_fn(a), dX[..., :tan_dim]))
+        tan = (AdjXa_fn(Xinv, adj_apply(a, dX[..., :tan_dim]))
                + AdjXa_fn(Xinv, da))
         return out, _bcast(tan, out)
 
     return AdjTXa
 
 
-SO3_AdjXa = _make_adjxa(SO3_Adj, so3_adj, 3)
-SE3_AdjXa = _make_adjxa(SE3_Adj, se3_adj, 6)
-RxSO3_AdjXa = _make_adjxa(RxSO3_Adj, rxso3_adj, 4)
-Sim3_AdjXa = _make_adjxa(Sim3_Adj, sim3_adj, 7)
+SO3_AdjXa = _make_adjxa(_qrot, so3_adj_apply, 3)
+SE3_AdjXa = _make_adjxa(_SE3_Adj_apply, se3_adj_apply, 6)
+RxSO3_AdjXa = _make_adjxa(_RxSO3_Adj_apply, rxso3_adj_apply, 4)
+Sim3_AdjXa = _make_adjxa(_Sim3_Adj_apply, sim3_adj_apply, 7)
 
-SO3_AdjTXa = _make_adjtxa(SO3_AdjXa, SO3_Inv, so3_adj, 3)
-SE3_AdjTXa = _make_adjtxa(SE3_AdjXa, SE3_Inv, se3_adj, 6)
-RxSO3_AdjTXa = _make_adjtxa(RxSO3_AdjXa, RxSO3_Inv, rxso3_adj, 4)
-Sim3_AdjTXa = _make_adjtxa(Sim3_AdjXa, Sim3_Inv, sim3_adj, 7)
+SO3_AdjTXa = _make_adjtxa(SO3_AdjXa, SO3_Inv, so3_adj_apply, 3)
+SE3_AdjTXa = _make_adjtxa(SE3_AdjXa, SE3_Inv, se3_adj_apply, 6)
+RxSO3_AdjTXa = _make_adjtxa(RxSO3_AdjXa, RxSO3_Inv, rxso3_adj_apply, 4)
+Sim3_AdjTXa = _make_adjtxa(Sim3_AdjXa, Sim3_Inv, sim3_adj_apply, 7)
 
 
 # ---------------------------------------------------------------------------
@@ -742,15 +787,18 @@ Sim3_AdjTXa = _make_adjtxa(Sim3_AdjXa, Sim3_Inv, sim3_adj, 7)
 # ---------------------------------------------------------------------------
 
 def SO3_Jinvp(X, p):
-    return _mv(so3_Jl_inv(SO3_Log(X)), p)
+    return so3_Jl_inv_apply(SO3_Log(X), p)
 
 
 def SE3_Jinvp(X, p):
-    return _mv(se3_Jl_inv(SE3_Log(X)), p)
+    return se3_Jl_inv_apply(SE3_Log(X), p)
 
 
 def RxSO3_Jinvp(X, p):
-    return _mv(rxso3_Jl_inv(RxSO3_Log(X)), p)
+    phis = RxSO3_Log(X)
+    return jnp.concatenate(
+        [so3_Jl_inv_apply(phis[..., :3], p[..., :3]), p[..., 3:4]],
+        axis=-1)
 
 
 def Sim3_Jinvp(X, p):
