@@ -7,10 +7,21 @@ tol=0 (no early exit).  Run:
 
     timeout 900 python tools/fused_cg_prof.py    (takes the TPU tunnel)
 
-Measured 2026-08-18 (r4, one v5e):
+Measured 2026-08-18 (r4, one v5e) — NEGATIVE RESULT, kernel not routed:
     einsum-cg      ~119 us/iter (it=92 exit corrected)
-    tiled (r3)     198-250 us/iter     <- the recorded negative
-    fused f32      see stderr of the latest run
+    tiled (r3)     198-250 us/iter     <- the r3 recorded negative
+    fused f32      165-200 us/iter     <- LOSES to the einsum CG
+    fused bf16     NaN on hardware (interpret-mode correct; the two-pass
+                   recurrence amplifies bf16 rounding in the
+                   Chronopoulos-Gear coupled scalars until divergence)
+Why the einsum CG stands: per-iteration glue traffic is ~105 MB
+(C blocks + x/r/p/s state at N=1e5/t=6/n_off=2), i.e. ~128 us at the
+v5e's ~820 GB/s — the einsum CG's measured 119-129 us/iter is already
+at that roofline, so a fused kernel can only win by shrinking BYTES
+(operand dtype or stencil compression), not by fusing launches.  The
+~74 us "C-read roofline" in CLAUDE.md counts only the C blocks; the
+state vectors' traffic is irreducible in any one-pass-per-iteration
+schedule.
 """
 
 import functools
