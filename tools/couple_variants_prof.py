@@ -94,18 +94,29 @@ def main():
                         D.astype(jnp.bfloat16)),
     }
 
-    ref = couple_einsum(C, D, x0)
-    rn = float(jnp.linalg.norm(ref))
+    # one jitted program per correctness check (eager ops each pay a
+    # full tunnel dispatch; and big operands go as ARGUMENTS)
+    @jax.jit
+    def ref_norm(C, D, x):
+        r = couple_einsum(C, D, x)
+        return r, jnp.linalg.norm(r)
+    ref, rn = jax.block_until_ready(ref_norm(C, D, x0))
+    rn = float(rn)
     for name, (fn, Cv, Dv) in forms.items():
-        err = float(jnp.linalg.norm(fn(Cv, Dv, x0) - ref)) / rn
+        err = float(jax.jit(
+            lambda Cv, Dv, x, ref, fn=fn:
+            jnp.linalg.norm(fn(Cv, Dv, x) - ref))(Cv, Dv, x0, ref)) / rn
+
+        # big operands as jit ARGUMENTS (closure constants ship in the
+        # remote-compile payload — CLAUDE.md HTTP 413 note)
         @functools.partial(jax.jit, static_argnames='iters')
-        def chain(x, iters, fn=fn, Cv=Cv, Dv=Dv):
+        def chain(Cv, Dv, x, iters, fn=fn):
             def body(i, x):
                 y = fn(Cv, Dv, x)
                 return y * jax.lax.rsqrt(jnp.sum(y * y) + 1e-30)
             return jax.lax.fori_loop(0, iters, body, x)
-        t80 = warm_time(lambda: chain(x0, 80))
-        t10 = warm_time(lambda: chain(x0, 10))
+        t80 = warm_time(lambda: chain(Cv, Dv, x0, 80))
+        t10 = warm_time(lambda: chain(Cv, Dv, x0, 10))
         us = (t80 - t10) / 70 * 1e6
         print(f'[{name}] {us:.1f} us/matvec  (rel err vs einsum.f32: '
               f'{err:.2e})')
