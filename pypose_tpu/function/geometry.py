@@ -146,20 +146,26 @@ def _knn_tiled(ref, nbr, k, largest, chunk):
     a neighbor ranking unless true distances differ by less — acceptable
     for association (ICP); use the dense path for exactness."""
     R, N = ref.shape[0], nbr.shape[0]
-    if k == 1 and not largest and jax.default_backend() == 'tpu':
+    if k <= 16 and k <= N and not largest \
+            and jax.default_backend() == 'tpu':
         # fused Pallas kernel: the distance tiles never touch HBM
         # (the lax.map path below materializes R x N x 4 bytes per call
-        # — 40 GB at 100k x 100k; ops/pallas_knn.py)
-        from ..ops.pallas_knn import nn1
-        d2, idx = nn1(ref, nbr)
-        return KNNResult(jnp.sqrt(d2)[:, None], idx[:, None])
+        # — 40 GB at 100k x 100k; ops/pallas_knn.py).  k > 1 runs the
+        # running-top-k variant (k extraction passes per VMEM tile).
+        from ..ops.pallas_knn import nnk
+        d2, idx = nnk(ref, nbr, k)
+        return KNNResult(jnp.sqrt(d2), idx)
     pad = (-R) % chunk
     refp = jnp.pad(ref, ((0, pad), (0, 0)))
     tiles = refp.reshape(-1, chunk, ref.shape[-1])
     nbr2 = jnp.sum(nbr * nbr, axis=-1)                       # [N]
 
     def one(tile):
-        g = tile @ nbr.T                                     # MXU cross term
+        # MXU cross term; HIGHEST pins f32 (DEFAULT is single-pass bf16
+        # on TPU — with wide coordinate ranges its d2 error reaches the
+        # near-neighbor gap scale).  The matmul is bandwidth-bound at
+        # D=3, so the multi-pass cost is negligible.
+        g = jnp.matmul(tile, nbr.T, precision=jax.lax.Precision.HIGHEST)
         d2 = jnp.maximum(jnp.sum(tile * tile, -1)[:, None] + nbr2[None, :]
                          - 2.0 * g, 0.0)
         if k == 1:

@@ -132,3 +132,38 @@ def test_pallas_nn1_matches_bruteforce():
     assert (np.asarray(idx) == D.argmin(1)).mean() > 0.999
     np.testing.assert_allclose(np.sqrt(np.asarray(d2)), D.min(1),
                                atol=1e-3)
+
+
+def test_pallas_nnk_matches_bruteforce():
+    """Running-top-k kernel (interpret mode) == dense sorted k-smallest,
+    across multiple neighbor tiles and non-divisible padding."""
+    from pypose_tpu.ops.pallas_knn import nnk
+    rng = np.random.default_rng(7)
+    ref = jnp.asarray(rng.normal(size=(150, 3)), jnp.float32)
+    nbr = jnp.asarray(rng.normal(size=(333, 3)), jnp.float32)
+    for k in (2, 4, 7):
+        d2, idx = nnk(ref, nbr, k, tr=64, tn=128, interpret=True)
+        D2 = ((np.asarray(ref)[:, None] - np.asarray(nbr)[None]) ** 2
+              ).sum(-1)
+        order = np.argsort(D2, axis=1)[:, :k]
+        ref_d2 = np.take_along_axis(D2, order, axis=1)
+        # values must match the true k smallest (ties make indices
+        # ambiguous; compare distances, and indices where gaps are clear)
+        np.testing.assert_allclose(np.asarray(d2), ref_d2,
+                                   rtol=1e-4, atol=1e-5)
+        gap = np.diff(ref_d2, axis=1) > 1e-4
+        clear = np.concatenate([np.ones((len(ref), 1), bool), gap], 1)
+        assert (np.asarray(idx) == order)[clear].mean() > 0.999
+
+
+def test_pallas_nnk_k_exceeds_tile():
+    """k close to the neighbor tile size still merges correctly."""
+    from pypose_tpu.ops.pallas_knn import nnk
+    rng = np.random.default_rng(9)
+    ref = jnp.asarray(rng.normal(size=(40, 3)), jnp.float32)
+    nbr = jnp.asarray(rng.normal(size=(300, 3)), jnp.float32)
+    d2, idx = nnk(ref, nbr, 16, tr=40, tn=128, interpret=True)
+    D2 = ((np.asarray(ref)[:, None] - np.asarray(nbr)[None]) ** 2).sum(-1)
+    ref_d2 = np.sort(D2, axis=1)[:, :16]
+    np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-4,
+                               atol=1e-5)
