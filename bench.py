@@ -356,6 +356,46 @@ def bench_ba_trafalgar():
         f'dense J would be 356 GB; parity pinned by [ba-anchored])')
 
 
+def bench_ba_large():
+    """Large-camera-count BA where the matvec-only Schur-CG fallback is
+    the AUTO-selected route (C=2048 > DENSE_SCHUR_MAX_C=1024) — the
+    regime the reference reaches only through its external CUDA `bae`
+    backend (reference pypose/optim/optimizer.py:629-643: sparse CSR
+    normal equations + PCG).  r4 verdict missing #2: the fallback had
+    only ever been measured FORCED at trafalgar scale, never where it
+    actually routes."""
+    from pypose_tpu.datasets import synthetic_bal
+    from pypose_tpu.optim.ba import BundleAdjustment
+
+    ds = synthetic_bal(n_cams=2048, n_points=49152, obs_per_point=6,
+                       seed=0, pose_noise=(0.2, 0.05), point_noise=0.3)
+    O = ds['pixels'].shape[0]
+
+    def make():
+        return BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                                ds['pt_idx'], ds['pixels'], ds['cameras'],
+                                fix_first_pose=True, cg_iter=100,
+                                cg_tol=1e-6)
+    ba = make()
+    assert not ba._use_dense_schur, 'expected auto-routed Schur-CG'
+    log(f'[ba-large] C=2048 P=49152 O={O}; schur=auto routed to '
+        f'matvec-CG (dense budget excludes C>1024)')
+    chi0 = float(ba._chi2(ds['poses'].tensor(), ds['points']))
+    t0 = time.perf_counter()
+    ba.optimize(steps=5, patience=3, decreasing=1e-3)  # compile + run
+    log(f'[ba-large] cold compile+optimize {time.perf_counter()-t0:.1f}s')
+    ba2 = make()
+    ba2._opt_cache = ba._opt_cache
+    t0 = time.perf_counter()
+    loss = ba2.optimize(steps=5, patience=3, decreasing=1e-3)
+    dt = time.perf_counter() - t0
+    steps = max(len(ba2.history), 1)
+    log(f'[ba-large] warm: {steps} device-side LM steps in {dt:.3f}s '
+        f'({dt/steps*1e3:.1f} ms/step); chi2 {chi0:.4e} -> '
+        + ' -> '.join(f'{h:.4e}' for h in ba2.history)
+        + f'; reproj RMSE {jnp.sqrt(loss/O):.4f} px')
+
+
 def bench_ba_anchored():
     """Reference-parity BA: the identical problem tools/ref_anchor_ba.py
     ran through the reference's DENSE LM on CPU (C=16/P=300/O=1200,
@@ -707,6 +747,7 @@ def main():
 
     # --- headline (exempt from the deadline: it IS the deliverable) ---
     baseline = 5.0  # seconds (BASELINE.json: sphere2500 to ref chi2 < 5 s)
+    payload_line = os.environ.get('PPT_JSON_PAYLOAD', '')
     if os.environ.get('PPT_JSON_DONE'):
         # watchdog restart after the JSON line already went out: don't
         # burn shared budget re-running (and maybe re-compiling) the
@@ -729,19 +770,24 @@ def main():
                 'unit': 'seconds',
                 'vs_baseline': 0.0,
             }
-        print(json.dumps(payload), flush=True)
+        payload_line = json.dumps(payload)
+        print(payload_line, flush=True)
 
-    # --- secondary sections, cheapest-information-first, each skipped
-    # when the remaining budget can't cover its estimated cost ---
+    # --- secondary sections, ordered by EVIDENCE VALUE (r4 verdict #1:
+    # [pgo-100k]/[ba-trafalgar] — the flagship optimizations — were
+    # deadline-skipped behind cheap sections).  Each is skipped when the
+    # remaining budget can't cover its estimated cost; per-section wall
+    # time is logged so next round can recalibrate the estimates. ---
     sections = [
-        ('ekf', bench_filters, 60),
-        ('imu+modules', bench_modules, 240),
-        ('pgo-100k', bench_pgo_100k, 180),
-        ('micro', microbench_lieops, 90),
+        ('pgo-100k', bench_pgo_100k, 150),
+        ('ba-trafalgar', bench_ba_trafalgar, 100),
+        ('ekf', bench_filters, 50),
+        ('imu+modules', bench_modules, 260),
+        ('micro', microbench_lieops, 60),
         ('batch-lm', bench_batch_lm, 60),
         ('ba-anchored', bench_ba_anchored, 40),
         ('ba', bench_ba, 60),
-        ('ba-trafalgar', bench_ba_trafalgar, 120),
+        ('ba-large', bench_ba_large, 130),
         ('pgo-chain', bench_pgo_chain, 60),
         ('pgo-groups', bench_pgo_groups, 120),
     ]
@@ -750,11 +796,20 @@ def main():
             log(f'[{name}] skipped (deadline: {remaining():.0f}s left '
                 f'< est {cost}s)')
             continue
+        t_sec = time.monotonic()
         try:
             fn()
         except Exception as e:
             log(f'[{name}] failed:', e)
+        log(f'[{name}] section wall time {time.monotonic() - t_sec:.0f}s '
+            f'(est {cost}s)')
     log(f'[bench] done with {remaining():.0f}s of budget left')
+    # Re-print the identical headline JSON as the LAST stdout line: the
+    # driver's parser reads the END of the stream (BENCH_r03/r04 tails
+    # began mid-JSON with parsed:null).  The first print stays for
+    # wedge-safety; this one makes the artifact machine-readable.
+    if payload_line:
+        print(payload_line, flush=True)
 
 
 def _watchdog_main():
@@ -773,13 +828,15 @@ def _watchdog_main():
     # back-to-back backend-init hangs observed); keep retrying — each
     # attempt is cheap and a recovered tunnel completes in ~25 min
     t0 = time.monotonic()
-    json_done = {'v': False}
+    json_done = {'v': False, 'line': ''}
     for attempt in range(8):
         # restarts share ONE wall-clock budget (PPT_BENCH_T0) and must not
-        # print a second headline JSON line (PPT_JSON_DONE)
+        # re-RUN the headline (PPT_JSON_DONE) — but they DO need its text
+        # (PPT_JSON_PAYLOAD) so the final-line re-print survives restarts
         env = dict(os.environ, PPT_BENCH_CHILD='1', PPT_BENCH_T0=repr(t0))
         if json_done['v']:
             env['PPT_JSON_DONE'] = '1'
+            env['PPT_JSON_PAYLOAD'] = json_done['line']
         proc = subprocess.Popen([sys.executable, '-u', __file__],
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.PIPE, env=env)
@@ -790,6 +847,7 @@ def _watchdog_main():
                 state['last'] = time.monotonic()
                 if dst is sys.stdout and line.strip().startswith(b'{'):
                     json_done['v'] = True
+                    json_done['line'] = line.strip().decode()
                 dst.buffer.write(line)
                 dst.flush()
 
