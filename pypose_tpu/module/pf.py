@@ -44,8 +44,12 @@ class PF(EKF):
         self.model.set_refpoint(state=x, input=u, t=t)
         n = x.shape[-1]
         xp = self.generate_particles(x, n * P, k1)
-        xs = self.model.state_transition(xp, u, t)
-        ye = self.model.observation(xs, u, t)
+        # particles live on axis -2; give the input a matching singleton
+        # axis so batched ``(B, n)`` inputs broadcast against ``(B, p, n)``
+        # particle clouds (the reference crashes on this case)
+        up = jnp.expand_dims(u, -2)
+        xs = self.model.state_transition(xp, up, t)
+        ye = self.model.observation(xs, up, t)
         q = self.relative_likelihood(y, ye, R)
         xr = self.resample_particles(q, xs, k2)
         x = xr.mean(axis=-2)
@@ -69,12 +73,20 @@ class PF(EKF):
         return jax.nn.softmax(logp, axis=-1)
 
     def resample_particles(self, q, x, key):
-        """Inverse-CDF resampling.  Ref: pf.py:186-194."""
-        r = jax.random.uniform(key, (self.particles,), dtype=x.dtype)
+        """Inverse-CDF resampling, batched over leading dims.
+
+        Ref: pf.py:186-194 — which CRASHES for batched inputs
+        (torch.searchsorted boundaries error at (B, n) states, verified
+        against the executed reference); here the searchsorted is
+        vectorized over batch dims with independent uniform draws per
+        batch element, so ``PF`` composes with batched systems like
+        every other filter."""
+        r = jax.random.uniform(key, q.shape, dtype=x.dtype)
         cumsumq = jnp.cumsum(q, axis=-1)
-        idx = jnp.searchsorted(cumsumq, r)
+        idx = jnp.vectorize(jnp.searchsorted,
+                            signature='(p),(p)->(p)')(cumsumq, r)
         idx = jnp.clip(idx, 0, self.particles - 1)
-        return jnp.take(x, idx, axis=-2)
+        return jnp.take_along_axis(x, idx[..., None], axis=-2)
 
     def compute_cov(self, a, b, Q=0):
         """Covariance of particles.  Ref: pf.py:195-196."""
