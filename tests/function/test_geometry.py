@@ -47,6 +47,42 @@ def test_knn():
     assert float(values[0, 0]) < float(values[0, 1])
 
 
+def test_knn_tiled_pallas_glue(monkeypatch):
+    """Geometry-level KNNResult glue around the k>1 Pallas route
+    (function/geometry.py _knn_tiled): the kernel path is TPU-gated and
+    the CPU suite never exercised it, so a shape/dtype mismatch in the
+    sqrt/int32 glue would only surface on hardware (r4 advisor).  Here
+    the backend gate is monkeypatched and the kernel runs in interpret
+    mode; result must match the dense path in shape, dtype, sortedness,
+    and values."""
+    from pypose_tpu.function import geometry
+    from pypose_tpu.ops import pallas_knn
+
+    orig_nnk = pallas_knn.nnk
+    monkeypatch.setattr(geometry.jax, 'default_backend', lambda: 'tpu')
+    monkeypatch.setattr(
+        pallas_knn, 'nnk',
+        lambda ref, nbr, k: orig_nnk(ref, nbr, k, tr=64, tn=128,
+                                     interpret=True))
+    ref = jax.random.normal(jax.random.PRNGKey(10), (100, 3))
+    nbr = jax.random.normal(jax.random.PRNGKey(11), (200, 3))
+    k = 8
+    res = geometry._knn_tiled(ref, nbr, k, largest=False, chunk=64)
+    dense = pp.knn(ref, nbr, k=k)
+    assert res.values.shape == (100, k) and res.indices.shape == (100, k)
+    assert res.values.dtype == ref.dtype
+    assert res.indices.dtype == jnp.int32
+    v = np.asarray(res.values)
+    assert (np.diff(v, axis=1) >= -1e-5).all(), 'values must be ascending'
+    np.testing.assert_allclose(v, np.asarray(dense.values), atol=1e-3)
+    # indices match wherever the neighbor gap is clear of f32 Gram noise
+    dv = np.asarray(dense.values)
+    gap = np.diff(dv, axis=1) > 1e-2
+    clear = np.concatenate([np.ones((len(dv), 1), bool), gap], 1)
+    match = (np.asarray(res.indices) == np.asarray(dense.indices))[clear]
+    assert match.mean() > 0.999
+
+
 def test_svdtf_recovers_pose():
     key = jax.random.PRNGKey(4)
     src = jax.random.normal(key, (30, 3))

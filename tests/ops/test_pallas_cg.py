@@ -157,13 +157,23 @@ def test_pallas_nnk_matches_bruteforce():
 
 
 def test_pallas_nnk_k_exceeds_tile():
-    """k close to the neighbor tile size still merges correctly."""
+    """k at/above the neighbor tile size still merges correctly — the
+    per-tile extraction pulls inf-filled slots (k=16 from tn=16 tiles,
+    and from a mostly-padded final tile) which the running merge must
+    never select (r4 advisor: the old k=16/tn=128 case exercised
+    neither)."""
     from pypose_tpu.ops.pallas_knn import nnk
     rng = np.random.default_rng(9)
     ref = jnp.asarray(rng.normal(size=(40, 3)), jnp.float32)
     nbr = jnp.asarray(rng.normal(size=(300, 3)), jnp.float32)
-    d2, idx = nnk(ref, nbr, 16, tr=40, tn=128, interpret=True)
     D2 = ((np.asarray(ref)[:, None] - np.asarray(nbr)[None]) ** 2).sum(-1)
     ref_d2 = np.sort(D2, axis=1)[:, :16]
-    np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-4,
-                               atol=1e-5)
+    for tn in (16, 32, 128):
+        # tn=16: k == tile size, every tile's k-extraction exhausts the
+        # tile; tn=128: last tile of 300 has 44 real + 84 padded rows,
+        # so its extraction yields inf slots the merge must drop
+        d2, idx = nnk(ref, nbr, 16, tr=40, tn=tn, interpret=True)
+        np.testing.assert_allclose(np.asarray(d2), ref_d2, rtol=1e-4,
+                                   atol=1e-5, err_msg=f'tn={tn}')
+        assert np.isfinite(np.asarray(d2)).all()
+        assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 300).all()

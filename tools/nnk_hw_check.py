@@ -73,6 +73,8 @@ def main():
               file=sys.stderr)
 
     # XLA lax.map fallback for contrast at k=4 (chunked to fit HBM)
+    nbr2 = jnp.sum(nbr * nbr, axis=-1)
+
     @jax.jit
     def xla_sweep(refv):
         tiles = refv.reshape(-1, 500, 3)
