@@ -152,7 +152,8 @@ class SparseLM:
 
     def __init__(self, params, factors, solver=None, strategy=None,
                  reject=16, min=1e-6, max=1e32, cg_iter=None, cg_tol=1e-5,
-                 fixed=None, precond='auto', scatter=False, matvec='auto'):
+                 fixed=None, precond='auto', scatter=False, matvec='auto',
+                 cg_warm=False, cg_forcing=None):
         self.params = dict(params)
         self.factors = list(factors)
         self.strategy = TrustRegion() if strategy is None else strategy
@@ -161,6 +162,18 @@ class SparseLM:
         self.reject = reject
         self.cg_iter = cg_iter
         self.cg_tol = cg_tol
+        # inexact-Newton controls (measured on the 100k PGO, r5):
+        #   cg_warm: warm-start each LM step's CG from the previous
+        #     step's delta (one extra matvec for r0 = b - A x0).
+        #   cg_forcing: Eisenstat-Walker-style forcing — per-LM-step CG
+        #     tolerance eta_k = clip(gamma * sqrt(chi2_k / chi2_{k-1}),
+        #     cg_tol, 0.1) with gamma = this value; early steps get loose
+        #     solves, steps near the plateau (ratio -> 1) stay at
+        #     gamma-level looseness while CG's RELATIVE tol against the
+        #     shrinking gradient norm provides the absolute tightening.
+        #     None = fixed cg_tol (reference semantics).
+        self.cg_warm = cg_warm
+        self.cg_forcing = cg_forcing
         # fixed: dict name -> bool mask [N] of gauge-fixed nodes (their
         # tangent update is forced to zero — e.g. anchor the first pose).
         self.fixed = fixed or {}
@@ -609,10 +622,14 @@ class SparseLM:
         return lambda x: {n: appliers[n](x[n]) for n in x}
 
     # ------------------------------------------------------------------
-    def _core(self, params, strat_state, fdata):
+    def _core(self, params, strat_state, fdata, x0=None, tol_dyn=None):
         blocks = [self._weighted(f, fd, *self._edge_r_jac(params, f, fd, fi))
                   for fi, (f, fd) in enumerate(zip(self.factors, fdata))]
         b = self._rhs(blocks, fdata)
+        # dynamic (traced) CG tolerance from the forcing schedule; the
+        # whole-CG Pallas kernel keeps the static cg_tol (its loop bound
+        # is baked into the kernel)
+        cg_tol = self.cg_tol if tol_dyn is None else tol_dyn
         diag_raw = self._diag(blocks, fdata)
         diagA = {n: jnp.clip(v, self.min, self.max)
                  for n, v in diag_raw.items()}
@@ -692,7 +709,7 @@ class SparseLM:
             pc_diag_cl = [jnp.clip(pc_comps[i * t0 + i], self.min, self.max)
                           for i in range(t0)]
 
-        def solve(damping):
+        def solve(damping, x0_=None):
             if use_kernel:
                 from ..ops.pallas_cg import stencil_cg
                 from ..ops.smallinv import blockinv
@@ -746,7 +763,7 @@ class SparseLM:
                                           precision=_HI) for n in x}
 
             x, _ = jax.scipy.sparse.linalg.cg(
-                Avp, b, tol=self.cg_tol, maxiter=maxiter, M=M)
+                Avp, b, x0=x0_, tol=cg_tol, maxiter=maxiter, M=M)
             return x
 
         def retract_all(p, delta):
@@ -791,8 +808,9 @@ class SparseLM:
             return ~state[-1]
 
         def body(state):
-            p0, loss, strat, count, _ = state
-            D = solve(strat['damping'])
+            p0, loss, strat, count, D_prev, _ = state
+            D = solve(strat['damping'],
+                      D_prev if self.cg_warm else None)
             flat = jnp.concatenate([v.reshape(-1) for v in
                                     jax.tree_util.tree_leaves(D)])
             bad = ~jnp.all(jnp.isfinite(flat))
@@ -811,13 +829,15 @@ class SparseLM:
                 lambda a, c: jnp.where(take, c, a), p0, cand)
             loss_out = jnp.where(take, loss_new, last)
             return (p_out, loss_out, strat_new,
-                    count + rejectable.astype(count.dtype), done)
+                    count + rejectable.astype(count.dtype), D, done)
 
+        D0 = x0 if x0 is not None \
+            else {n: jnp.zeros_like(v) for n, v in b.items()}
         state0 = (params, last, strat_state, jnp.asarray(0, jnp.int32),
-                  jnp.asarray(False))
-        p_f, loss_f, strat_f, count_f, _ = jax.lax.while_loop(
+                  D0, jnp.asarray(False))
+        p_f, loss_f, strat_f, count_f, D_f, _ = jax.lax.while_loop(
             cond, body, state0)
-        return p_f, loss_f, last, strat_f, count_f
+        return p_f, loss_f, last, strat_f, count_f, D_f
 
     def _strategy_update(self, strat, quality):
         """Strategy update from a precomputed gain ratio (sparse path never
@@ -842,13 +862,29 @@ class SparseLM:
             return {'damping': jnp.clip(d, s.min, s.max)}
         return strat  # Constant
 
+    def _zero_delta(self, params):
+        """Zero tangent-space delta matching ``_rhs``'s structure (only
+        names some factor touches appear in the normal equations)."""
+        names = set()
+        for f in self.factors:
+            names.update(f.indices)
+        out = {}
+        for n in sorted(names):
+            v = params[n]
+            if isinstance(v, LieTensor):
+                out[n] = jnp.zeros(tuple(v.lshape) + (_tan_dim(v),),
+                                   dtype=v.tensor().dtype)
+            else:
+                out[n] = jnp.zeros(v.shape, dtype=v.dtype)
+        return out
+
     def step(self):
         if self.strategy_state is None:
             dtype = jax.tree_util.tree_leaves(self.params)[0].dtype
             self.strategy_state = self.strategy.init(dtype)
         if self._step_fn is None:
             self._step_fn = jax.jit(self._core)
-        p, loss, last, strat, count = self._step_fn(
+        p, loss, last, strat, count, _ = self._step_fn(
             self.params, self.strategy_state, self._factor_data())
         self.params = p
         self.strategy_state = strat
@@ -878,20 +914,38 @@ class SparseLM:
                 return (~st[-1]) & (st[4] < steps)
 
             def body(st):
-                p, strat_s, last_loss, hist, i, pat, _ = st
-                p2, loss, last, strat2, count = self._core(p, strat_s,
-                                                           fdata)
+                p, strat_s, last_loss, hist, i, pat, D_prev, rel, _ = st
+                tol_dyn = None
+                if self.cg_forcing is not None:
+                    # Eisenstat-Walker choice-2 style: eta_k = gamma *
+                    # (|F_k| / |F_{k-1}|) with chi2 = |F|^2; CG's
+                    # RELATIVE tol against the shrinking gradient gives
+                    # the absolute tightening near convergence
+                    tol_dyn = jnp.clip(
+                        self.cg_forcing * jnp.sqrt(rel),
+                        self.cg_tol, 0.1)
+                p2, loss, last, strat2, count, D2 = self._core(
+                    p, strat_s, fdata,
+                    D_prev if self.cg_warm else None, tol_dyn)
+                rel2 = jnp.where(
+                    jnp.isfinite(last) & (last > 0),
+                    jnp.clip(loss / jnp.maximum(last, 1e-31), 0.0, 1.0),
+                    jnp.ones_like(rel))
                 hist = hist.at[i].set(loss.astype(jnp.float32))
                 pat2 = jnp.where(last - loss < decreasing, pat + 1,
                                  jnp.zeros_like(pat))
                 stop = (pat2 >= patience) | (count > 0)
-                return (p2, strat2, loss, hist, i + 1, pat2, stop)
+                return (p2, strat2, loss, hist, i + 1, pat2, D2, rel2,
+                        stop)
 
+            D0 = self._zero_delta(params)
             init = (params, strat, jnp.asarray(jnp.inf, jnp.float32),
                     hist0, jnp.asarray(0, jnp.int32),
-                    jnp.asarray(0, jnp.int32), jnp.asarray(False))
-            p, strat_f, loss, hist, nsteps, _, _ = jax.lax.while_loop(
-                cond, body, init)
+                    jnp.asarray(0, jnp.int32), D0,
+                    jnp.asarray(1.0, jnp.float32), jnp.asarray(False))
+            st = jax.lax.while_loop(cond, body, init)
+            p, strat_f, loss, hist, nsteps = st[0], st[1], st[2], st[3], \
+                st[4]
             return p, strat_f, loss, hist, nsteps
 
         key = ('optimize', steps, patience, decreasing)
