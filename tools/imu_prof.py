@@ -35,16 +35,24 @@ def sync(out):
 
 def warm_time(fn, n_lo=2, n_hi=12, repeats=3):
     sync(fn())
-    def block(n):
+    def block(n, reps):
         best = float('inf')
-        for _ in range(repeats):
+        for _ in range(reps):
             t0 = time.perf_counter()
             for _ in range(n):
                 out = fn()
             sync(out)
             best = min(best, time.perf_counter() - t0)
         return best
-    return max(block(n_hi) - block(n_lo), 1e-12) / (n_hi - n_lo)
+    # auto-calibrate: a 2.5 s program at the default 42 calls would burn
+    # the tunnel budget; block(1) ends in a device_get so it IS synced
+    t1 = block(1, 1)
+    if t1 > 1.0:
+        n_lo, n_hi, repeats = 1, 3, 1
+    elif t1 > 0.1:
+        n_lo, n_hi, repeats = 2, 6, 2
+    return max(block(n_hi, repeats) - block(n_lo, repeats), 1e-12) \
+        / (n_hi - n_lo)
 
 
 def main():
@@ -54,7 +62,7 @@ def main():
     from pypose_tpu.lietensor.utils import identity_SO3, so3
     from pypose_tpu.lietensor.lietensor import LieTensor
 
-    F = 1_000_000
+    F = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     dtv = jnp.full((1, F, 1), 0.005)
     gyro = jnp.broadcast_to(jnp.array([0., 0., 0.3]), (1, F, 3))
     acc = jnp.broadcast_to(jnp.array([0.2, 0., 9.81007]), (1, F, 3))
