@@ -219,7 +219,6 @@ class IMUPreintegrator(Module):
         one = jnp.ones_like(dtf)
 
         Rij = _quat2R(qij)
-        Rkm = _quat2R(qk)
         RH = _mscale(-1.0, _mm3(Rij, _skew(av)))               # -Rij Ha
 
         # Jr(Rk) = Jl(-Log(Rk)) = I - cosc K + sinc3 K^2, K = skew(phi)
@@ -244,6 +243,17 @@ class IMUPreintegrator(Module):
                           for j in range(3)) for i in range(3))
         W = tuple(tuple(sum(Rij[i][k] * ac[k] * Rij[j][k] for k in range(3))
                         for j in range(3)) for i in range(3))
+
+        import os
+        _cf = os.environ.get('PPT_IMU_COVFORM', 'auto')
+        if _cf in ('auto', 'closed'):
+            # O(F) closed form (default): collapses the 81-column scan
+            # (2.44 s of the 2.45 s forward at F=1e6 on v5e,
+            # tools/imu_prof.py r5) to one quaternion suffix scan +
+            # reverse cumsums; see _cov_closed.
+            return self._cov_closed(cov_input, qk, RH, JCJ, W, dtf,
+                                    init_cov, B, dtype)
+        Rkm = _quat2R(qk)
 
         def bgrid(i, j):
             bi, bj = i // 3, j // 3
@@ -291,16 +301,13 @@ class IMUPreintegrator(Module):
                      for k in range(9))
                  for i in range(9) for j in range(9)], axis=-1)
 
-        # the 81-column combine unrolls to ~730 HLO ops PER SCAN LEVEL:
-        # great for TPU HBM traffic (no (16, 128)-padded [.., 9, 9]
-        # temps), but XLA:CPU takes ~39 s to compile it at F=20 vs 0.9 s
-        # for the compact matmul combine (measured r4).  Tests and other
-        # non-TPU backends get the matmul form; numerical parity of the
-        # two forms is pinned by tests/module/test_imu.py.
-        import os
-        _cf = os.environ.get('PPT_IMU_COVFORM', 'auto')
-        col_form = (jax.default_backend() == 'tpu') if _cf == 'auto' \
-            else _cf == 'col'
+        # legacy scan forms, kept selectable for parity pinning
+        # (tests/module/test_imu_covform.py): the 81-column combine
+        # unrolls to ~730 HLO ops PER SCAN LEVEL — fast on TPU HBM (no
+        # (16, 128)-padded [.., 9, 9] temps) but ~39 s of XLA:CPU
+        # compile at F=20 vs 0.9 s for the compact matmul combine
+        # (measured r4).
+        col_form = _cf == 'col'
 
         def cov_span(P0, A_core, B_core):
             """Final P of the recursion P_j = A_j P_{j-1} A_j^T + B_j
@@ -361,3 +368,133 @@ class IMUPreintegrator(Module):
             covc, _ = jax.lax.scan(body, P0c, (A_ch, B_ch))
         cov = covc.reshape(B, 9, 9)
         return {'cov': cov, 'Rij': cov_input['Rij'][..., -1:, :]}
+
+    def _cov_closed(self, cov_input, qk, RH, JCJ, W, dtf, init_cov, B,
+                    dtype):
+        r"""O(F) closed form of the covariance span (the default).
+
+        The span's cumulative transition products have closed block
+        structure: with the (reference-convention, ascending) products
+        :math:`S_j = A_j A_{j+1} \cdots A_F`,
+
+        .. math::
+            S_j = \begin{bmatrix} Q_j & 0 & 0 \\ X_j & I & 0 \\
+                  Y_j & T_j I & I \end{bmatrix},
+
+        where :math:`Q_j = Rk_j^T Q_{j+1}` is a quaternion suffix
+        product, :math:`T_j = \sum_{k\ge j} dt_k`, and
+        :math:`X_j = \sum_{k\ge j} dt_k\,RH_k\,Q_{k+1}`,
+        :math:`Y_j = \sum_{k\ge j} (dt_k X_{k+1} + \tfrac12 dt_k^2
+        RH_k Q_{k+1})` are reverse cumsums.  The final covariance
+        :math:`P = S_1 P_0 S_1^T + \sum_j S_{j+1} B_j S_{j+1}^T`
+        expands into six 3x3 block sums over frames — one 4-lane
+        quaternion ``associative_scan`` + 19 ``[B, F]`` cumsums + ~9
+        scalarized 3x3 matmuls per frame, instead of the legacy
+        81-column matrix scan (whose ~730-FMA combine at every scan
+        level was 2.44 s of the 2.45 s forward at F=1e6 on one v5e,
+        tools/imu_prof.py r5).  No scan tree also means no
+        COV_SCAN_CHUNK remote-compile limit and cheap XLA:CPU compiles.
+
+        Ref: pypose/module/imu_preintegrator.py:429-465 (same
+        flipped-cumprod product convention; parity pinned by
+        tests/module/test_imu_covform.py).
+        """
+        import jax
+        from ..lietensor.scalarized import _qconj, _qmul, _quat2R, _mm3
+
+        # Q_{j}: suffix quaternion products conj(qk_j) ⊗ ... ⊗ conj(qk_F)
+        qs = jax.lax.associative_scan(_qmul, _qconj(qk), axis=1,
+                                      reverse=True)
+        qn = jax.lax.rsqrt(jnp.maximum(
+            qs[0] ** 2 + qs[1] ** 2 + qs[2] ** 2 + qs[3] ** 2, 1e-30))
+        qs = tuple(c * qn for c in qs)
+
+        def shift_left(c, fill):
+            return jnp.concatenate(
+                [c[..., 1:], jnp.full((B, 1), fill, dtype)], axis=-1)
+
+        def revcum(c):
+            return jax.lax.cumsum(c, axis=1, reverse=True)
+
+        def mmT(Am, Bm):
+            return tuple(tuple(sum(Am[i][k] * Bm[j][k] for k in range(3))
+                               for j in range(3)) for i in range(3))
+
+        # S_{j+1} blocks, per frame j (exclusive shifts are exact: they
+        # reindex the inclusive scans instead of subtracting)
+        qsx = tuple(shift_left(c, 1.0 if k == 3 else 0.0)
+                    for k, c in enumerate(qs))
+        Q3 = _quat2R(qsx)                                     # Q_{j+1}
+        D = tuple(tuple(dtf * m for m in row)
+                  for row in _mm3(RH, Q3))                    # dt RH Q
+        Xin = tuple(tuple(revcum(m) for m in row) for row in D)
+        Xex = tuple(tuple(shift_left(m, 0.0) for m in row) for row in Xin)
+        E = tuple(tuple(dtf * Xex[i][j] + 0.5 * dtf * D[i][j]
+                        for j in range(3)) for i in range(3))
+        Yin = tuple(tuple(revcum(m) for m in row) for row in E)
+        Yex = tuple(tuple(shift_left(m, 0.0) for m in row) for row in Yin)
+        Tin = revcum(dtf)
+        Tex = shift_left(Tin, 0.0)
+
+        b2 = 0.5 * dtf ** 2
+        b3 = 0.25 * dtf ** 3
+        N1 = mmT(_mm3(Q3, JCJ), Q3)    # Q JCJ Q^T
+        N2 = _mm3(Q3, JCJ)             # reused below as Q JCJ
+        QJX = mmT(N2, Xex)
+        QJY = mmT(N2, Yex)
+        XJ = _mm3(Xex, JCJ)
+        XJX = mmT(XJ, Xex)
+        XJY = mmT(XJ, Yex)
+        YJY = mmT(_mm3(Yex, JCJ), Yex)
+
+        def fsum(c):
+            return jnp.sum(c, axis=1)
+
+        blk00 = [[fsum(dtf * N1[i][j]) for j in range(3)] for i in range(3)]
+        blk01 = [[fsum(dtf * QJX[i][j]) for j in range(3)] for i in range(3)]
+        blk02 = [[fsum(dtf * QJY[i][j]) for j in range(3)] for i in range(3)]
+        blk11 = [[fsum(dtf * (XJX[i][j] + W[i][j])) for j in range(3)]
+                 for i in range(3)]
+        blk12 = [[fsum(dtf * XJY[i][j] + (dtf * Tex + b2) * W[i][j])
+                  for j in range(3)] for i in range(3)]
+        blk22 = [[fsum(dtf * YJY[i][j]
+                       + (b3 + 2.0 * Tex * b2 + Tex ** 2 * dtf) * W[i][j])
+                  for j in range(3)] for i in range(3)]
+
+        grid = [[blk00, blk01, blk02],
+                [None, blk11, blk12],
+                [None, None, blk22]]
+
+        def entry(r, c):
+            br, bc, i, j = r // 3, c // 3, r % 3, c % 3
+            if br <= bc:
+                return grid[br][bc][i][j]
+            return grid[bc][br][j][i]                  # symmetric blocks
+
+        covB = jnp.stack([entry(r, c) for r in range(9) for c in range(9)],
+                         axis=-1).reshape(B, 9, 9)
+
+        # + S_1 P_0 S_1^T  (one tiny [B, 9, 9] congruence)
+        Q13 = _quat2R(tuple(c[:, 0] for c in qs))      # [B] components
+        X1 = tuple(tuple(Xin[i][j][:, 0] for j in range(3)) for i in range(3))
+        Y1 = tuple(tuple(Yin[i][j][:, 0] for j in range(3)) for i in range(3))
+        T1 = Tin[:, 0]
+        zb = jnp.zeros((B,), dtype)
+        ob = jnp.ones((B,), dtype)
+
+        def s1entry(r, c):
+            br, bc, i, j = r // 3, c // 3, r % 3, c % 3
+            if bc == 0:
+                return (Q13, X1, Y1)[br][i][j]
+            if br == 1:
+                return (ob if i == j else zb) if bc == 1 else zb
+            if br == 2:
+                if bc == 1:
+                    return T1 if i == j else zb
+                return ob if i == j else zb
+            return zb
+        S1 = jnp.stack([s1entry(r, c) for r in range(9) for c in range(9)],
+                       axis=-1).reshape(B, 9, 9)
+        covB = covB + jnp.einsum('bij,bjk,blk->bil', S1,
+                                 init_cov.astype(dtype), S1)
+        return {'cov': covB, 'Rij': cov_input['Rij'][..., -1:, :]}

@@ -46,6 +46,19 @@ def test_column_and_matmul_cov_forms_agree():
     np.testing.assert_allclose(a['cov'], b['cov'], rtol=1e-4, atol=1e-10)
 
 
+def test_closed_form_agrees_with_matmul():
+    """The O(F) closed form (default) vs the legacy matmul scan."""
+    for seed in (0, 3):
+        a = _run('mat', F=50, seed=seed)
+        b = _run('closed', F=50, seed=seed)
+        for k in ('rot', 'pos', 'vel'):
+            np.testing.assert_allclose(a[k], b[k], atol=1e-6)
+        # atol floor: the ~1e-13 cross terms (vs 5e-6 diagonal) carry
+        # f32 reassociation noise between the two accumulation orders
+        np.testing.assert_allclose(a['cov'], b['cov'], rtol=1e-4,
+                                   atol=1e-9)
+
+
 def test_column_form_chunked_agrees():
     """Chunked lax.scan path (F > COV_SCAN_CHUNK) vs monolithic span."""
     os.environ['PPT_IMU_COVFORM'] = 'mat'
