@@ -543,10 +543,10 @@ def bench_modules():
     except Exception as e:
         log('[mpc] failed:', e)
 
-    # IMU preintegration (O(log F) associative scans for both the SO3
-    # product and the 9x9 covariance recursion).  1e6 frames with the
-    # full covariance scan blows the remote compile service (the [1, 1e6,
-    # 9, 9] rematerialized scan tree); fall back to 250k frames.
+    # IMU preintegration: SO3-product associative scan + the r5 O(F)
+    # closed-form covariance span (quaternion suffix scan + reverse
+    # cumsums — the legacy 81-column matrix scan was 2.44 s of the old
+    # 2.45 s forward; tools/imu_prof.py).
     for F in (1_000_000, 250_000):
         try:
             from pypose_tpu.module import IMUPreintegrator
@@ -555,8 +555,9 @@ def bench_modules():
             acc = jnp.broadcast_to(jnp.array([0.2, 0., 9.81007]), (1, F, 3))
             integ = IMUPreintegrator(reset=True, prop_cov=True)
             dt = warm_time(lambda: integ(dtv, gyro, acc))
-            log(f'[imu] preintegration @ {F} frames (SO3 + 9x9-cov assoc '
-                f'scans): {dt*1e3:.1f} ms = {F/dt:.3e} frames/s')
+            log(f'[imu] preintegration @ {F} frames (SO3 assoc scan + '
+                f'closed-form 9x9 cov): {dt*1e3:.1f} ms = '
+                f'{F/dt:.3e} frames/s')
             break
         except Exception as e:
             log(f'[imu] failed @ {F} frames:', str(e)[:200])
@@ -640,9 +641,14 @@ def bench_pgo_100k():
         factors.append(pgo_factor(edges[jnp.asarray(rest)],
                                   ds['poses'][jnp.asarray(rest)]))
     fixed = {'poses': jnp.zeros(N, bool).at[0].set(True)}
+    # cg_tol=1e-3: the r5-measured sweet spot of the iteration-count
+    # ladder (tools/cg_forcing_prof.py) — trajectory indistinguishable
+    # from 1e-6 (plateau 2.881e2 by step 4 on both), 78.1 -> 66.4
+    # ms/step; 1e-2 lags one LM step, EW forcing + warm-start are
+    # written negatives
     opt = SparseLM({'poses': ds['nodes']}, factors,
                    strategy=TrustRegion(radius=1e4), fixed=fixed,
-                   cg_iter=250, cg_tol=1e-6)
+                   cg_iter=250, cg_tol=1e-3)
     opt.optimize(steps=6, decreasing=1e-6, patience=2)   # compile + run
     opt.params = {'poses': ds['nodes']}
     opt.strategy_state = opt.strategy.init(jnp.float32)
@@ -782,7 +788,7 @@ def main():
         ('pgo-100k', bench_pgo_100k, 150),
         ('ba-trafalgar', bench_ba_trafalgar, 100),
         ('ekf', bench_filters, 50),
-        ('imu+modules', bench_modules, 260),
+        ('imu+modules', bench_modules, 200),
         ('micro', microbench_lieops, 60),
         ('batch-lm', bench_batch_lm, 60),
         ('ba-anchored', bench_ba_anchored, 40),

@@ -75,9 +75,30 @@ def cummul(input, dim, left=True):
         ...                   atol=1e-6))
         True
     """
+    from ..lietensor.lietensor import LieTensor, SO3_type
+    if isinstance(input, LieTensor) and input.ltype is SO3_type:
+        return _cum_quat(input, _check_dim(input, dim), left)
     if left:
         return cumops(input, dim, lambda a, b: b * a)
     return cumops(input, dim, lambda a, b: a * b)
+
+
+def _cum_quat(input, dim, left):
+    """SO3 cumulative product on quaternion COMPONENT tuples.
+
+    Scanning the whole ``[..., 4]`` storage puts the 4-wide quaternion
+    in the TPU lane dimension (padded to 128 -> 32x the bytes at every
+    scan level); scanning four ``[...]`` component arrays keeps the
+    scan axis lane-major.  Same trap/fix family as the sparse-LM block
+    contractions (CLAUDE.md r3) and the closed-form IMU covariance (r5).
+    """
+    from ..lietensor.lietensor import LieTensor
+    from ..lietensor.scalarized import _qmul
+    q = input.tensor()
+    comps = tuple(q[..., k] for k in range(4))
+    fn = (lambda a, b: _qmul(b, a)) if left else (lambda a, b: _qmul(a, b))
+    out = jax.lax.associative_scan(fn, comps, axis=dim)
+    return LieTensor(jnp.stack(out, axis=-1), ltype=input.ltype)
 
 
 def cumprod(input, dim, left=True):
@@ -99,6 +120,9 @@ def cumprod(input, dim, left=True):
         ...                   atol=1e-6))
         True
     """
+    from ..lietensor.lietensor import LieTensor, SO3_type
+    if isinstance(input, LieTensor) and input.ltype is SO3_type:
+        return _cum_quat(input, _check_dim(input, dim), left)
     if left:
         return cumops(input, dim, lambda a, b: b @ a)
     return cumops(input, dim, lambda a, b: a @ b)
