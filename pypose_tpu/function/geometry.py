@@ -146,12 +146,18 @@ def _knn_tiled(ref, nbr, k, largest, chunk):
     a neighbor ranking unless true distances differ by less — acceptable
     for association (ICP); use the dense path for exactness."""
     R, N = ref.shape[0], nbr.shape[0]
-    if k <= 16 and k <= N and not largest \
+    if k == 1 and k <= N and not largest \
             and jax.default_backend() == 'tpu':
         # fused Pallas kernel: the distance tiles never touch HBM
         # (the lax.map path below materializes R x N x 4 bytes per call
-        # — 40 GB at 100k x 100k; ops/pallas_knn.py).  k > 1 runs the
-        # running-top-k variant (k extraction passes per VMEM tile).
+        # — 40 GB at 100k x 100k; ops/pallas_knn.py).  k == 1 ONLY:
+        # measured on v5e at 100k x 100k (tools/nnk_hw_check.py +
+        # nnk_xla_contrast.py, r5), Pallas k=1 = 84 ms vs ~317 ms for
+        # the lax.map/top_k path, but the running-top-k variant LOSES
+        # for k > 1 (k=4: 429 ms Pallas vs 317 ms XLA) — its k serial
+        # extraction passes per VMEM tile cost more than XLA's fused
+        # top_k over streamed [chunk, N] tiles.  k > 1 therefore runs
+        # the lax.map path below.
         from ..ops.pallas_knn import nnk
         d2, idx = nnk(ref, nbr, k)
         return KNNResult(jnp.sqrt(d2), idx)

@@ -100,9 +100,20 @@ def nnk(ref, nbr, k, tr=512, tn=2048, interpret=False):
     (d2 [R, k], idx [R, k]).  Same fused tiling as :func:`nn1`: distance
     tiles never touch HBM (the XLA lax.map path materializes R x N x 4
     bytes per sweep).  Per-tile cost adds ~k min/argmin passes over the
-    VMEM block plus an O(k^2) unrolled merge on [Tr] vectors; intended
-    for small k (<= 16).  Ref capability: pypose/function/geometry.py:228
-    (torch.topk over the dense distance matrix)."""
+    VMEM block plus an O(k^2) unrolled merge on [Tr] vectors.
+
+    MEASURED NEGATIVE for k > 1 (v5e, 100k x 100k, r5,
+    tools/nnk_hw_check.py + nnk_xla_contrast.py): k=4 runs 429 ms vs
+    317 ms for the XLA lax.map/top_k path (k=1: 84 vs ~317 ms — the
+    k=1 win stands).  The k serial extraction passes are VPU-bound and
+    scale linearly in k, while XLA's fused top_k amortizes its sort
+    over the streamed [chunk, N] tile; the HBM traffic the kernel
+    saves is already hidden by XLA's pipelining at these shapes.
+    ``knn`` therefore routes only k == 1 here
+    (function/geometry.py:_knn_tiled); the k > 1 kernel stays for
+    completeness/interpret-mode study.  Ref capability:
+    pypose/function/geometry.py:228 (torch.topk over the dense
+    distance matrix)."""
     import jax.experimental.pallas as pl
 
     if k == 1:

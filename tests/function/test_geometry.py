@@ -48,26 +48,48 @@ def test_knn():
 
 
 def test_knn_tiled_pallas_glue(monkeypatch):
-    """Geometry-level KNNResult glue around the k>1 Pallas route
-    (function/geometry.py _knn_tiled): the kernel path is TPU-gated and
-    the CPU suite never exercised it, so a shape/dtype mismatch in the
-    sqrt/int32 glue would only surface on hardware (r4 advisor).  Here
-    the backend gate is monkeypatched and the kernel runs in interpret
-    mode; result must match the dense path in shape, dtype, sortedness,
-    and values."""
+    """Geometry-level KNNResult glue around the TPU-gated Pallas route
+    (function/geometry.py _knn_tiled): the kernel path never runs on the
+    CPU suite, so a shape/dtype mismatch in the sqrt/int32 glue would
+    only surface on hardware (r4 advisor).  Here the backend gate is
+    monkeypatched and the kernel runs in interpret mode.  After the r5
+    measured negative (Pallas k>1 loses to the lax.map/top_k path on
+    hardware) only k == 1 routes to the kernel; k > 1 must take the
+    lax.map path even with the gate open — both are checked against the
+    dense path in shape, dtype, sortedness, and values."""
     from pypose_tpu.function import geometry
     from pypose_tpu.ops import pallas_knn
 
     orig_nnk = pallas_knn.nnk
+    called = {}
+
+    def fake_nnk(ref, nbr, k):
+        called['k'] = k
+        return orig_nnk(ref, nbr, k, tr=64, tn=128, interpret=True)
+
     monkeypatch.setattr(geometry.jax, 'default_backend', lambda: 'tpu')
-    monkeypatch.setattr(
-        pallas_knn, 'nnk',
-        lambda ref, nbr, k: orig_nnk(ref, nbr, k, tr=64, tn=128,
-                                     interpret=True))
+    monkeypatch.setattr(pallas_knn, 'nnk', fake_nnk)
     ref = jax.random.normal(jax.random.PRNGKey(10), (100, 3))
     nbr = jax.random.normal(jax.random.PRNGKey(11), (200, 3))
+
+    # k == 1: routes to the Pallas kernel (interpret mode)
+    res1 = geometry._knn_tiled(ref, nbr, 1, largest=False, chunk=64)
+    assert called.get('k') == 1, 'k=1 must route to the Pallas kernel'
+    dense1 = pp.knn(ref, nbr, k=1)
+    assert res1.values.shape == (100, 1) and res1.indices.shape == (100, 1)
+    assert res1.values.dtype == ref.dtype
+    assert res1.indices.dtype == jnp.int32
+    np.testing.assert_allclose(np.asarray(res1.values),
+                               np.asarray(dense1.values), atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(res1.indices),
+                                  np.asarray(dense1.indices))
+
+    # k > 1: must NOT call the kernel (measured hardware negative);
+    # the lax.map/top_k glue still has to match the dense path
+    called.clear()
     k = 8
     res = geometry._knn_tiled(ref, nbr, k, largest=False, chunk=64)
+    assert 'k' not in called, 'k>1 must take the lax.map path'
     dense = pp.knn(ref, nbr, k=k)
     assert res.values.shape == (100, k) and res.indices.shape == (100, k)
     assert res.values.dtype == ref.dtype
