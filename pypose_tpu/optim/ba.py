@@ -505,8 +505,19 @@ class BundleAdjustment:
             T_new = SE3(T0).add(dc).tensor()
             X_new = X0 + dp
             loss_new = self._chi2(T_new, X_new, obs)
+            # a non-finite candidate loss is as bad as a non-finite delta:
+            # `worse = last < NaN` is False, which would force-accept it
+            bad = bad | ~jnp.isfinite(loss_new)
             pred = pred_reduction(dc, dp)
             q = (last - loss_new) / jnp.where(pred == 0, 1e-31, pred)
+            # non-positive predicted reduction = the local model says the
+            # step does not descend (unconverged CG garbage): hard reject,
+            # or the double-negative ratio scores it as HIGH quality, the
+            # radius grows each rejection, and the post-reject
+            # force-accept diverges (measured: C=2048 [ba-large], chi2
+            # 3.7e8 -> 9.8e16, r5).  See strategy._quality (same guard);
+            # the reference divides blindly (strategy.py:260-261).
+            q = jnp.where(pred > 0, q, -1.0)
             strat_new = self._strategy_update(strat, q)
             worse = last < loss_new
             rejectable = worse & (count < self.reject) & ~bad
@@ -587,7 +598,16 @@ class BundleAdjustment:
                 hist = hist.at[i].set(loss.astype(jnp.float32))
                 pat2 = jnp.where(last - loss < decreasing, pat + 1,
                                  jnp.zeros_like(pat))
-                stop = (pat2 >= patience) | (count > 0)
+                # the reference's StopOnPlateau quits on ANY rejection
+                # (scheduler.py:153-159) — correct when rejection means
+                # plateau (exact dense solves), wrong when it is
+                # recoverable damping escalation: the large-C matvec-CG
+                # path legitimately rejects a few times while the trust
+                # region tightens, then takes a good step (measured
+                # [ba-large], r5).  Quit on rejection only when the step
+                # ALSO failed to make the required progress.
+                stop = (pat2 >= patience) | \
+                    ((count > 0) & (last - loss < decreasing))
                 return (T1, X1, strat2, hist, i + 1, pat2, stop)
 
             init = (T, X, strat, hist0, jnp.asarray(0, jnp.int32),

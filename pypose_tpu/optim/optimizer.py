@@ -403,6 +403,9 @@ class LevenbergMarquardt(_Optimizer):
             D_safe = jnp.where(bad, jnp.zeros_like(D), D)
             cand = _update_parameters(p0, D_safe)
             loss_new = self.model.loss(cand, input, target)
+            # a non-finite candidate loss is as bad as a non-finite delta
+            # (`last < NaN` is False and would force-accept it)
+            bad = bad | ~jnp.isfinite(loss_new)
             strat_new = self.strategy.update(
                 strat, last, loss_new, J_flat, D_safe, R_col)
             worse = last < loss_new
@@ -467,7 +470,12 @@ class LevenbergMarquardt(_Optimizer):
                 hist = hist.at[i].set(loss.astype(jnp.float32))
                 pat2 = jnp.where(last - loss < decreasing, pat + 1,
                                  jnp.zeros_like(pat))
-                stop = (pat2 >= patience) | (count > 0)
+                # quit on rejection only when the step also failed to
+                # make the required progress (the reference quits on ANY
+                # rejection, scheduler.py:153-159 — wrong for recoverable
+                # damping escalation; see optim/ba.py optimize)
+                stop = (pat2 >= patience) | \
+                    ((count > 0) & (last - loss < decreasing))
                 return (p2, strat2, loss, hist, i + 1, pat2, stop)
 
             init = (params, strat, jnp.asarray(jnp.inf, jnp.float32),

@@ -90,7 +90,13 @@ class StopOnPlateau(_Scheduler):
             if self.verbose:
                 print('StopOnPlateau: Maximum patience steps reached, '
                       'Quitting..')
-        if getattr(self.optimizer, 'reject_count', 0) > 0:
+        if getattr(self.optimizer, 'reject_count', 0) > 0 and \
+                self.optimizer.last - self.optimizer.loss < self.decreasing:
+            # Deviation from the reference (scheduler.py:153-159, quits
+            # on ANY rejection): rejections during recoverable damping
+            # escalation still end in a good step on large CG-solved
+            # problems — quit only when the step also failed to make
+            # the required progress.
             self._continual = False
             if self.verbose:
                 print('StopOnPlateau: Maximum rejected steps reached, '

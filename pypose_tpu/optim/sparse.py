@@ -818,8 +818,17 @@ class SparseLM:
                 lambda v: jnp.where(bad, jnp.zeros_like(v), v), D)
             cand = retract_all(p0, D)
             loss_new = self._chi2(cand, fdata)
+            # a non-finite candidate loss is as bad as a non-finite delta
+            # (`last < NaN` is False and would force-accept it)
+            bad = bad | ~jnp.isfinite(loss_new)
             pred = pred_reduction(blocks, D, None)
             q = (last - loss_new) / jnp.where(pred == 0, 1e-31, pred)
+            # non-positive predicted reduction (unconverged-CG garbage
+            # step): hard reject — the double-negative ratio otherwise
+            # scores it HIGH and grows the radius every rejection.  See
+            # strategy._quality; measured divergence on the BA matvec-CG
+            # path (r5); the reference divides blindly.
+            q = jnp.where(pred > 0, q, -1.0)
             strat_new = self._strategy_update(strat, q)
             worse = last < loss_new
             rejectable = worse & (count < self.reject) & ~bad
@@ -934,7 +943,12 @@ class SparseLM:
                 hist = hist.at[i].set(loss.astype(jnp.float32))
                 pat2 = jnp.where(last - loss < decreasing, pat + 1,
                                  jnp.zeros_like(pat))
-                stop = (pat2 >= patience) | (count > 0)
+                # quit on rejection only when the step also failed to
+                # make the required progress (the reference quits on ANY
+                # rejection, scheduler.py:153-159 — wrong for recoverable
+                # damping escalation; see optim/ba.py optimize)
+                stop = (pat2 >= patience) | \
+                    ((count > 0) & (last - loss < decreasing))
                 return (p2, strat2, loss, hist, i + 1, pat2, D2, rel2,
                         stop)
 
@@ -1085,7 +1099,10 @@ def pgo(nodes, edges, poses, infos=None, steps=10, strategy=None,
         history.append(loss)
         if verbose:
             print(f'pgo step {i}: chi2 {loss:.6e}')
-        if opt.reject_count > 0:
+        if opt.reject_count > 0 and \
+                (len(history) < 2 or history[-2] - history[-1] <= 0):
+            # rejection + no progress = plateau; rejection alone can be
+            # recoverable damping escalation (see optim/ba.py optimize)
             break
         if len(history) > 1 and \
                 history[-2] - history[-1] < tol * max(1.0, history[-1]):

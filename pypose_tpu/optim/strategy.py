@@ -12,11 +12,24 @@ import jax.numpy as jnp
 def _quality(last, loss, J, D, R):
     """Gain ratio (actual reduction / predicted reduction).
 
-    Ref: strategy.py:140-141, 260-261.
+    Ref: strategy.py:140-141, 260-261 — with one deliberate deviation:
+    a step whose PREDICTED reduction is non-positive (the local model
+    says the step does not descend — e.g. an unconverged inner CG
+    returned garbage) is scored -1, a hard reject.  The reference
+    divides blindly, so a garbage step that increases the loss
+    (numerator < 0) over a negative prediction (denominator < 0) scores
+    as HIGH quality, the radius GROWS on every rejection, and the
+    post-reject force-accept diverges — measured on the C=2048 BA
+    matvec-CG path (chi2 3.7e8 -> 9.8e16; tools/ba_large_debug r5).
+    Ceres treats model_cost_change <= 0 the same way (invalid step).
+
+    A NaN loss also lands in the poor branch: NaN comparisons are False
+    in both `q > high` and `q > low`, so the radius shrinks.
     """
     JD = J @ D
     pred = -(JD.T @ (2.0 * R + JD)).squeeze()
-    return (last - loss) / jnp.where(pred == 0, 1e-31, pred)
+    q = (last - loss) / jnp.where(pred == 0, 1e-31, pred)
+    return jnp.where(pred > 0, q, -1.0)
 
 
 class Constant:

@@ -164,6 +164,28 @@ def test_ba_auto_routed_cg_converges():
         BundleAdjustment.DENSE_SCHUR_MAX_C = old
 
 
+def test_ba_unconverged_cg_does_not_diverge():
+    """Robustness canary: a pathologically crippled inner CG (2
+    iterations) must still yield a finite, decreasing loss.  At THIS
+    scale block-Jacobi CG already returns descent directions, so the
+    pred<0 trap itself only fires at large C (the measured C=2048
+    [ba-large] divergence, chi2 3.7e8 -> 9.8e16, r5 — fixed by the
+    quality guard unit-pinned in
+    test_optimizer.py::test_quality_guard_on_nondescent_prediction and
+    re-measured converging on hardware)."""
+    ds = synthetic_bal(n_cams=24, n_points=400, obs_per_point=4, seed=3,
+                       pose_noise=(0.2, 0.08), point_noise=0.3)
+    ba = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                          ds['pt_idx'], ds['pixels'], ds['cameras'],
+                          fix_first_pose=True, schur='cg',
+                          cg_iter=2, cg_tol=1e-12)
+    assert not ba._use_dense_schur
+    l0 = float(ba._chi2(ds['poses'].tensor(), ds['points']))
+    loss = ba.optimize(steps=6, patience=6, decreasing=-1.0)
+    assert np.isfinite(loss)
+    assert loss < l0, (loss, l0)
+
+
 def test_ba_dense_schur_gate():
     """'auto' falls back to CG past the camera/memory budget; 'dense'
     raises when infeasible."""

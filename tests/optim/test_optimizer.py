@@ -109,6 +109,35 @@ def test_lm_rejects_bad_step():
         prev = loss
 
 
+def test_quality_guard_on_nondescent_prediction():
+    """A step whose predicted reduction is non-positive must score as
+    POOR quality (hard reject) so TrustRegion SHRINKS the radius.  The
+    reference divides blindly (strategy.py:260-261): a garbage step that
+    increases the loss (numerator < 0) over a negative prediction
+    (denominator < 0) scores as high quality and the radius GROWS on
+    every rejection — the measured divergence mechanism of the C=2048
+    BA matvec-CG bench (chi2 3.7e8 -> 9.8e16, r5)."""
+    from pypose_tpu.optim.strategy import _quality
+
+    J = jnp.eye(2)
+    R = jnp.ones((2, 1))
+    D_descent = -jnp.ones((2, 1)) * 0.5     # pred = -D^T(2R + D) > 0
+    D_garbage = jnp.ones((2, 1)) * 10.0     # pred < 0 (ascent direction)
+
+    q_good = _quality(jnp.asarray(2.0), jnp.asarray(0.5), J, D_descent, R)
+    assert float(q_good) > 0
+    # loss increased AND pred < 0: the blind ratio would be positive
+    q_trap = _quality(jnp.asarray(2.0), jnp.asarray(200.0), J, D_garbage, R)
+    assert float(q_trap) == -1.0
+
+    ts = TrustRegion(radius=1e6)
+    st = ts.init()
+    st2 = ts.update(st, jnp.asarray(2.0), jnp.asarray(200.0), J,
+                    D_garbage, R)
+    assert float(st2['damping']) > float(st['damping']), \
+        'radius must SHRINK (damping grow) on a non-descent prediction'
+
+
 def test_multiple_params():
     class TwoPose(pp.Module):
         def __init__(self, key):
