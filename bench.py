@@ -18,6 +18,17 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# Compact per-section results, re-printed as a [summary] block at the
+# very END of the run: the driver records only the LAST ~2000 chars of
+# the stream (BENCH_r04's tail began mid-headline), so numbers logged
+# when a section RUNS are invisible unless repeated at the end.
+_SUMMARY = []
+
+
+def record(tag, text):
+    _SUMMARY.append(f'{tag}: {text}')
+
+
 def sync_get(out):
     """Force REAL completion of every enqueued program.
 
@@ -96,6 +107,8 @@ def microbench_lieops(batch=100_000, iters=50):
         f'{dt*1e3:.4f} ms/iter = {ops_per_sec:.3e} group-elem/s '
         f'(carry stays VMEM-resident — the fused-chain regime; '
         f'best of {REPEATS}, device_get-synced)')
+    record('micro-chain', f'{ops_per_sec:.2e} group-elem/s '
+           f'(SE3 Exp+Log+Jl+Act, device-looped)')
 
     # HBM-resident single-shot (dispatch-loop) variant: each call reads
     # inputs from and writes outputs to HBM — the roofline regime.
@@ -123,6 +136,7 @@ def microbench_lieops(batch=100_000, iters=50):
     dtj = per_call(lambda: jac(X.tensor(), p), 20, 120)
     log(f'[micro] vmapped jacrev(Act) @ {batch}: {dtj*1e3:.3f} ms/iter '
         f'= {batch/dtj:.3e} jac/s (best of {REPEATS}, device_get-synced)')
+    record('micro-jacrev', f'{batch/dtj:.2e} SE3-Act Jacobians/s @ 100k')
     return batch / dt_h
 
 
@@ -236,10 +250,26 @@ def bench_pgo_sphere2500():
     log(f'[pgo] warm: {n1}+{n2} device-side LM steps in {t2-t0:.3f}s '
         f'({(t2-t0)/(n1+n2)*1e3:.1f} ms/step); chi2 {chi2:.6e}; '
         f'target {ref_chi2:.6e} hit at step {hit} (~{t_to_target:.3f}s)')
+    record('pgo', f'sphere2500 {(t2-t0)/(n1+n2)*1e3:.1f} ms/LM-step, '
+           f'ref chi2 hit at step {hit} (~{t_to_target:.3f}s)')
+    return t_to_target, chi2
 
-    # information-weighted run (real g2o graphs carry 6x6 information
-    # matrices; exercise the weighted normal equations at full scale)
+
+def bench_pgo_weighted():
+    """Information-weighted sphere2500 (real g2o graphs carry 6x6
+    information matrices; exercises the weighted normal equations at
+    full scale).  Split from the headline so the deadline scheduler can
+    order it by evidence value."""
+    from pypose_tpu.datasets import synthetic_sphere
+    from pypose_tpu.optim.sparse import (SparseLM, pgo_factor,
+                                         split_chain_edges)
+    from pypose_tpu.optim.strategy import TrustRegion
+
     dsw = synthetic_sphere(2500, info='natural')
+    n = dsw['nodes'].lshape[0]
+    fixed = {'poses': jnp.zeros(n, bool).at[0].set(True)}
+    edges = jnp.asarray(dsw['edges'])
+    runs, rest = split_chain_edges(edges)
     def mkw(cg_iter, cg_tol):
         return SparseLM({'poses': dsw['nodes']},
                         [pgo_factor(edges[jnp.asarray(r)],
@@ -277,7 +307,12 @@ def bench_pgo_sphere2500():
             f'weighted chi2 {whist[0]:.4e} -> {lossw:.6e} '
             f'(no reference anchor vendored: run '
             f'tools/ref_anchor.py --n 2500 --weighted)')
-    return t_to_target, chi2
+    whit = None
+    if wanchor is not None and wanchor.get('final_weighted_chi2'):
+        wt = wanchor['final_weighted_chi2'] * (1 + 1e-4)
+        whit = next((i + 1 for i, h in enumerate(whist) if h <= wt), None)
+    record('pgo-weighted', f'chi2 {whist[0]:.3e} -> {lossw:.4e}'
+           + (f', ref target hit at step {whit}' if whit else ''))
 
 
 def bench_ba():
@@ -303,6 +338,8 @@ def bench_ba():
         f'{O} obs: {steps} device-side LM steps in {dt:.3f}s '
         f'({dt/max(steps,1)*1e3:.1f} ms/step), chi2 {loss:.4e}, '
         f'reproj RMSE {jnp.sqrt(loss/O):.4f} px')
+    record('ba', f'{dt/max(steps,1)*1e3:.1f} ms/LM-step '
+           f'(64 cams/8k pts/48k obs)')
 
 
 def bench_ba_trafalgar():
@@ -354,6 +391,9 @@ def bench_ba_trafalgar():
         + f'; reproj RMSE {jnp.sqrt(loss/O):.4f} px '
         f'(chi2 provenance: no reference anchor possible at this scale — '
         f'dense J would be 356 GB; parity pinned by [ba-anchored])')
+    record('ba-trafalgar', f'{dt/steps*1e3:.1f} ms/LM-step '
+           f'(257 cams/65k pts/226k obs, dense Schur), '
+           f'RMSE {float(jnp.sqrt(loss/O)):.3f} px')
 
 
 def bench_ba_large():
@@ -381,19 +421,29 @@ def bench_ba_large():
     log(f'[ba-large] C=2048 P=49152 O={O}; schur=auto routed to '
         f'matvec-CG (dense budget excludes C>1024)')
     chi0 = float(ba._chi2(ds['poses'].tensor(), ds['points']))
+    # 10 steps: step 1 pays the trust-region escalation from the default
+    # radius (the quality guard hard-rejects unconverged-CG garbage until
+    # damping reaches the CG-solvable regime, r5); the following steps
+    # accelerate — chi2 3.67e8 -> 2.56e7 by step 10.  cg_iter=300 is a
+    # measured no-op (identical trajectory: CG hits cg_tol before 100
+    # iterations at the dampings the schedule picks — the damping
+    # schedule is the limiter, not CG accuracy; tools/ba_cgiter_exp r5).
     t0 = time.perf_counter()
-    ba.optimize(steps=5, patience=3, decreasing=1e-3)  # compile + run
+    ba.optimize(steps=10, patience=5, decreasing=1e-3)  # compile + run
     log(f'[ba-large] cold compile+optimize {time.perf_counter()-t0:.1f}s')
     ba2 = make()
     ba2._opt_cache = ba._opt_cache
     t0 = time.perf_counter()
-    loss = ba2.optimize(steps=5, patience=3, decreasing=1e-3)
+    loss = ba2.optimize(steps=10, patience=5, decreasing=1e-3)
     dt = time.perf_counter() - t0
     steps = max(len(ba2.history), 1)
     log(f'[ba-large] warm: {steps} device-side LM steps in {dt:.3f}s '
         f'({dt/steps*1e3:.1f} ms/step); chi2 {chi0:.4e} -> '
         + ' -> '.join(f'{h:.4e}' for h in ba2.history)
         + f'; reproj RMSE {jnp.sqrt(loss/O):.4f} px')
+    record('ba-large', f'{dt/steps*1e3:.0f} ms/LM-step (C=2048 '
+           f'auto-routed Schur-CG), chi2 {chi0:.2e} -> '
+           f'{ba2.history[-1]:.2e} over {steps} steps')
 
 
 def bench_ba_anchored():
@@ -441,6 +491,8 @@ def bench_ba_anchored():
         f'provenance: {anchor["provenance"]} '
         f'({anchor["reference"]}, {anchor["wall_seconds"]:.0f}s on CPU; '
         f'this chip: {dt:.2f}s incl. compile)')
+    record('ba-anchored', f'reference chi2 target {status} '
+           f'(16 cams, ref-computed anchor)')
 
 
 def bench_modules():
@@ -464,6 +516,7 @@ def bench_modules():
         err = float(jnp.abs((out.Inv() @ T).Log().tensor()).max())
         log(f'[icp] {N} pts, <=8 sweeps (tiled-knn while_loop): '
             f'{dt*1e3:.1f} ms warm (align err {err:.1e})')
+        record('icp', f'{dt*1e3:.0f} ms @ 100k pts (err {err:.0e})')
     except Exception as e:
         log('[icp] failed:', e)
 
@@ -489,6 +542,7 @@ def bench_modules():
         log(f'[epnp] {B} batched PnP problems (n={n}): {dt*1e3:.1f} ms '
             f'= {B/dt:.3e} poses/s (pose err median {med:.1e}, '
             f'p99 {p99:.1e})')
+        record('epnp', f'{B/dt:.2e} poses/s (10k batched, n=12)')
     except Exception as e:
         log('[epnp] failed:', e)
 
@@ -540,13 +594,17 @@ def bench_modules():
         log(f'[mpc-ls] cartpole T={T} robust iLQR: {dt*1e3:.1f} ms warm '
             f'(cost {float(cost[0]):.3f}, |theta| tail max {th_tail:.4f}; '
             f'vanilla iLQR diverges beyond ~T=50)')
+        record('mpc-ls', f'T=128 robust iLQR {dt*1e3:.1f} ms warm')
     except Exception as e:
         log('[mpc] failed:', e)
 
-    # IMU preintegration: SO3-product associative scan + the r5 O(F)
-    # closed-form covariance span (quaternion suffix scan + reverse
-    # cumsums — the legacy 81-column matrix scan was 2.44 s of the old
-    # 2.45 s forward; tools/imu_prof.py).
+
+def bench_imu():
+    """IMU preintegration: SO3-product associative scan + the r5 O(F)
+    closed-form covariance span (quaternion suffix scan + reverse
+    cumsums — the legacy 81-column matrix scan was 2.44 s of the old
+    2.45 s forward; tools/imu_prof.py).  Own section: the 56x r5 result
+    must not ride behind the modules compiles in the deadline order."""
     for F in (1_000_000, 250_000):
         try:
             from pypose_tpu.module import IMUPreintegrator
@@ -558,6 +616,8 @@ def bench_modules():
             log(f'[imu] preintegration @ {F} frames (SO3 assoc scan + '
                 f'closed-form 9x9 cov): {dt*1e3:.1f} ms = '
                 f'{F/dt:.3e} frames/s')
+            record('imu', f'{F/dt:.2e} frames/s @ {F} frames '
+                   f'({dt*1e3:.1f} ms incl 9x9 cov)')
             break
         except Exception as e:
             log(f'[imu] failed @ {F} frames:', str(e)[:200])
@@ -587,6 +647,8 @@ def bench_batch_lm(B=4096, steps=4):
     log(f'[batch-lm] {B} independent SE3 LM problems x {steps} steps: '
         f'{dt*1e3:.1f} ms = {B/dt:.3e} problems/s '
         f'(max loss {float(losses.max()):.1e})')
+    record('batch-lm', f'{B/dt:.2e} problems/s '
+           f'(4096 independent SE3 LM x {steps} steps)')
 
 
 def bench_pgo_chain():
@@ -619,6 +681,8 @@ def bench_pgo_chain():
     log(f'[pgo-chain] 5000 poses, {edges.shape[0]} edges '
         f'({opt.precond} precond): {len(opt.history)} steps in {dt:.3f}s, '
         f'chi2 {opt.history[0]:.3e} -> {loss:.3e}')
+    record('pgo-chain', f'{dt/max(len(opt.history),1)*1e3:.1f} ms/step '
+           f'(5k poses, chain precond), chi2 -> {loss:.2e}')
 
 
 def bench_pgo_100k():
@@ -659,6 +723,8 @@ def bench_pgo_100k():
         f'{len(opt.history)} warm device-side LM steps in {dt:.3f}s '
         f'({dt/len(opt.history)*1e3:.1f} ms/step), chi2 '
         f'{opt.history[0]:.3e} -> {loss:.3e}')
+    record('pgo-100k', f'{dt/len(opt.history)*1e3:.1f} ms/LM-step '
+           f'(100k poses/180k edges), chi2 -> {loss:.3e}')
 
 
 def bench_pgo_groups(N=10_000):
@@ -703,6 +769,8 @@ def bench_pgo_groups(N=10_000):
             f'{len(opt.history)} warm LM steps in {dt:.3f}s '
             f'({dt/len(opt.history)*1e3:.1f} ms/step), chi2 '
             f'{opt.history[0]:.3e} -> {loss:.3e}')
+        record(name, f'{dt/len(opt.history)*1e3:.1f} ms/LM-step '
+               f'(10k nodes), chi2 -> {loss:.2e}')
 
 
 def bench_filters(T=1000):
@@ -733,6 +801,7 @@ def bench_filters(T=1000):
     dt = warm_time(lambda: run(jnp.zeros(N), jnp.eye(N), ys, us))
     log(f'[ekf] {T}-step EKF rollout (scan, incl. per-step jacrev '
         f'linearization): {dt*1e3:.1f} ms = {T/dt:.3e} steps/s')
+    record('ekf', f'{T/dt:.2e} steps/s (1000-step scan rollout)')
 
 
 def main():
@@ -784,23 +853,28 @@ def main():
     # deadline-skipped behind cheap sections).  Each is skipped when the
     # remaining budget can't cover its estimated cost; per-section wall
     # time is logged so next round can recalibrate the estimates. ---
+    # estimates recalibrated from r5 measured section wall times
     sections = [
         ('pgo-100k', bench_pgo_100k, 150),
         ('ba-trafalgar', bench_ba_trafalgar, 100),
-        ('ekf', bench_filters, 50),
-        ('imu+modules', bench_modules, 200),
-        ('micro', microbench_lieops, 60),
-        ('batch-lm', bench_batch_lm, 60),
-        ('ba-anchored', bench_ba_anchored, 40),
-        ('ba', bench_ba, 60),
-        ('ba-large', bench_ba_large, 130),
-        ('pgo-chain', bench_pgo_chain, 60),
-        ('pgo-groups', bench_pgo_groups, 120),
+        ('ba-large', bench_ba_large, 170),
+        ('imu', bench_imu, 110),
+        ('ekf', bench_filters, 15),
+        ('ba-anchored', bench_ba_anchored, 50),
+        ('micro', microbench_lieops, 70),
+        ('batch-lm', bench_batch_lm, 30),
+        ('pgo-groups', bench_pgo_groups, 125),
+        ('pgo-weighted', bench_pgo_weighted, 45),
+        ('modules', bench_modules, 190),
+        ('pgo-chain', bench_pgo_chain, 100),
+        ('ba', bench_ba, 230),
     ]
+    skipped = []
     for name, fn, cost in sections:
         if remaining() < cost:
             log(f'[{name}] skipped (deadline: {remaining():.0f}s left '
                 f'< est {cost}s)')
+            skipped.append(name)
             continue
         t_sec = time.monotonic()
         try:
@@ -810,10 +884,17 @@ def main():
         log(f'[{name}] section wall time {time.monotonic() - t_sec:.0f}s '
             f'(est {cost}s)')
     log(f'[bench] done with {remaining():.0f}s of budget left')
-    # Re-print the identical headline JSON as the LAST stdout line: the
-    # driver's parser reads the END of the stream (BENCH_r03/r04 tails
-    # began mid-JSON with parsed:null).  The first print stays for
-    # wedge-safety; this one makes the artifact machine-readable.
+    # Compact [summary] block + the headline JSON as the LAST stdout
+    # lines: the driver records only the END of the stream (~2000 chars
+    # — BENCH_r03/r04 tails began mid-JSON with parsed:null), so every
+    # captured number is repeated here to be visible in the artifact.
+    # The first JSON print (right after the headline) stays for
+    # wedge-safety.
+    for line in _SUMMARY:
+        print(f'[summary] {line}', flush=True)
+    if skipped:
+        print(f'[summary] deadline-skipped: {", ".join(skipped)}',
+              flush=True)
     if payload_line:
         print(payload_line, flush=True)
 
