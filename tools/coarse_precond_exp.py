@@ -11,14 +11,29 @@ precondition with the ADDITIVE two-level operator
 
     M x = BlockJacobi(x) + mask(P A_c^{-1} P^T mask(x))
 
-Cost model (N=1e5, t=6): restriction/prolongation are reshape-sums
-(free); the coarse apply is a dense [Nc*t, Nc*t] matvec — 23 MB/iter at
-g=250 (28 us at HBM roofline) vs the 143 us/iter measured fine
-iteration.  If the coarse space removes the low-frequency error that
-block-Jacobi cannot, outer iterations drop and the extra bytes pay.
-If per-node variation (the r4 finding for surrogates) also limits the
-*exact-coefficient* coarse correction, iterations won't drop and this
-writes the negative.
+MEASURED NEGATIVE (r5, real chip, N=1e5/E=1.8e5/damping=1e-4, this
+tool; Galerkin construction verified == P^T A P to f32 roundoff at
+N=200):
+
+    bj                 tol 1e-3:  30 iters   tol 1e-6: 464 (79 ms)
+    add  g=250/1000    tol 1e-3: 38/37       tol 1e-6: 551/545
+    mult g=250/1000    tol 1e-3: 30/30       tol 1e-6: 456/460
+
+The symmetric multiplicative V-cycle — with the EXACT coarse operator
+solved exactly — buys at most 2% fewer iterations while paying 2 extra
+fine matvecs per apply; the additive form is actively worse (the
+coarse correction double-counts with BJ in the coarse space).  N=2000
+CPU shows the same shape (438 -> 382 best case).  The conclusion is
+structural, not a tuning miss: in the LEFT-trivialized tangent
+convention a CONSTANT coarse vector x is exactly a rigid move of the
+whole segment (T_i <- Exp(x) T_i), i.e. piecewise-constant aggregation
+IS the textbook near-null-space prolongation for PGO — and it still
+captures almost none of the BJ-limiting error.  What limits
+block-Jacobi here is per-edge Jl_inv(r)-dependent weight variation
+(local roughness), the same mechanism behind the r4 circulant-surrogate
+negative (tools/circulant_precond_exp.py).  Two-level/multigrid
+preconditioning of these normal equations is closed as a direction;
+block-Jacobi + the einsum CG remains the endpoint.
 
 Run:  timeout 1500 python tools/coarse_precond_exp.py          (TPU)
       PPT_EXP_N=2000 python tools/coarse_precond_exp.py        (CPU smoke)
@@ -249,7 +264,11 @@ def main():
         print(f'[bj]      tol={tol:g}: iters={int(k)} rel={float(rel):.2e}'
               f' solve={tm*1e3:.1f} ms', file=sys.stderr)
 
-    for g in (100, 250, 500, 1000):
+    # each (g, variant) pair recompiles the whole-CG while_loop (remote
+    # compiles run 40-240 s): keep the TPU ladder short
+    gs = (250, 1000) if jax.default_backend() == 'tpu' \
+        else (100, 250, 500, 1000)
+    for g in gs:
         if N % g:
             continue
         M_add, M_mult = make_M_two_level(g, damping, corr, Binv, A)
