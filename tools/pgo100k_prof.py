@@ -68,7 +68,9 @@ def main():
     fixed = {'poses': jnp.zeros(N, bool).at[0].set(True)}
     opt = SparseLM({'poses': ds['nodes']}, factors,
                    strategy=TrustRegion(radius=1e4), fixed=fixed,
-                   cg_iter=250, cg_tol=1e-6)
+                   cg_iter=250,
+                   cg_tol=float(__import__('os').environ.get(
+                       'PPT_PROF_CGTOL', '1e-3')))
     params = opt.params
     fdata = opt._factor_data()
     print(f'N={N} E={edges.shape[0]} factors={len(factors)} '
