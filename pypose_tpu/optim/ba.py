@@ -132,6 +132,21 @@ class BundleAdjustment:
         cameras = jnp.asarray(cameras)
         if cameras.shape[0] == poses.lshape[0]:
             cameras = cameras[self.cam_idx]
+        # sort observations by camera (semantics are order-invariant:
+        # every consumer reduces over obs).  The cam-side broadcast /
+        # accumulate passes of the Schur-CG matvec then have segment
+        # locality and run as windowed one-hot einsums on the MXU
+        # instead of O-row gathers (tools/ba_matvec_exp.py, r5); sharded
+        # subclasses permute their obs_valid mask via ``_obs_perm``.
+        perm = np.argsort(np.asarray(self.cam_idx), kind='stable')
+        self._obs_perm = perm
+        if not np.array_equal(perm, np.arange(len(perm))):
+            self.cam_idx = jnp.asarray(
+                np.asarray(self.cam_idx)[perm], jnp.int32)
+            self.pt_idx = jnp.asarray(
+                np.asarray(self.pt_idx)[perm], jnp.int32)
+            self.pixels = jnp.asarray(np.asarray(self.pixels)[perm])
+            cameras = jnp.asarray(np.asarray(cameras)[perm])
         self.cameras = cameras
         self.residual = reproj_residual_bal if residual is None else residual
         self.strategy = TrustRegion() if strategy is None else strategy
@@ -160,6 +175,7 @@ class BundleAdjustment:
         self.reject_count = 0
         self._step_fn = None
         self._build_point_incidence()
+        self._build_cam_windows()
         self._pick_schur_mode()
 
     # dense-Schur memory budget for the [P, 18, C] Gram operand (bytes)
@@ -225,6 +241,68 @@ class BundleAdjustment:
             fill[c] += 1
         self._cam_inc = (jnp.asarray(inc), jnp.asarray(mask))
 
+    # windowed one-hot cam ops: minimum obs count to bother, window cap
+    CAM_WINDOW_MIN_O = 8192
+    CAM_WINDOW_MAX_W = 256
+    CAM_WINDOW_TILE = 1024
+
+    def _build_cam_windows(self):
+        """Static tile/window metadata for the cam-SORTED observation
+        order (established in ``__init__``): a tile of ``To`` consecutive
+        observations touches a narrow window of <= W cameras, so the
+        cam-side broadcast/accumulate run as tiny one-hot einsums on the
+        MXU instead of O-row gathers — the [ba-large] Schur matvec is
+        gather-ROW-bound at 3.4-5 ns/row (tools/ba_large_prof.py), and
+        the windowed form measured 6.25 -> 3.47 ms/matvec at C=2048/
+        O=294912 (tools/ba_matvec_exp.py, r5)."""
+        self._cam_win = None
+        ci = np.asarray(self.cam_idx)
+        O, To = len(ci), self.CAM_WINDOW_TILE
+        if O < self.CAM_WINDOW_MIN_O:
+            return
+        n_tiles = -(-O // To)
+        Opad = n_tiles * To
+        ci_pad = np.concatenate([ci, np.full(Opad - O, ci[-1], ci.dtype)])
+        tiles = ci_pad.reshape(n_tiles, To)
+        c0 = tiles[:, 0].astype(np.int32)
+        W = int((tiles[:, -1] - c0).max()) + 1
+        if W > self.CAM_WINDOW_MAX_W:
+            return
+        li = (tiles - c0[:, None]).astype(np.int32)
+        widx = c0[:, None] + np.arange(W, dtype=np.int32)[None, :]
+        wvalid = widx < self.C
+        widx = np.where(wvalid, widx, self.C)          # C = drop slot
+        # arrays only: this dict rides through jit as an ARGUMENT, so
+        # python ints would trace to arrays; the static sizes (n_tiles,
+        # To, W) are recovered from the array shapes
+        self._cam_win = dict(
+            li=jnp.asarray(li), widx=jnp.asarray(widx),
+            wvalid=jnp.asarray(wvalid))
+
+    def _cam_onehot(self, win):
+        """[n_tiles, To, W] 0/1 tile one-hots (exact in bf16; XLA fuses
+        the compare into the consuming dots)."""
+        W = win['widx'].shape[1]
+        return (win['li'][..., None] ==
+                jnp.arange(W, dtype=win['li'].dtype)
+                ).astype(jnp.bfloat16)
+
+    def _bcast_cams(self, obs, x):
+        """Per-camera rows to per-observation rows: ``x[cam_idx]``,
+        windowed when metadata is present (per-COLUMN einsums — a
+        batched [t, To, k] output lane-pads k to 128)."""
+        win = obs.get('cam_win')
+        if win is None:
+            return x[obs['cam_idx']]
+        n_tiles, To = win['li'].shape
+        oh = self._cam_onehot(win)
+        xw = x[jnp.where(win['wvalid'], win['widx'], 0)]  # [t, W, k] tiny
+        xw = jnp.where(win['wvalid'][..., None], xw, 0.0)
+        cols = [jnp.einsum('tol,tl->to', oh, xw[:, :, k],
+                           precision=_HI).reshape(n_tiles * To)
+                for k in range(x.shape[1])]
+        return jnp.stack(cols, axis=-1)[:obs['cam_idx'].shape[0]]
+
     def _obs_data(self):
         """Per-observation DYNAMIC arrays, threaded through the jitted
         programs as ARGUMENTS.  Closed-over arrays become compile-time
@@ -234,7 +312,8 @@ class BundleAdjustment:
         return dict(cam_idx=self.cam_idx, pt_idx=self.pt_idx,
                     pixels=self.pixels, cameras=self.cameras,
                     obs_valid=self.obs_valid,
-                    pt_inc=self._pt_inc, cam_inc=self._cam_inc)
+                    pt_inc=self._pt_inc, cam_inc=self._cam_inc,
+                    cam_win=self._cam_win)
 
     def _acc_cams(self, obs, contrib):
         """[O, ...] -> [C, ...] camera-side accumulation.
@@ -247,6 +326,21 @@ class BundleAdjustment:
         if len(tail) > 1:
             flat = self._acc_cams(obs, contrib.reshape(contrib.shape[0], -1))
             return flat.reshape((self.C,) + tail)
+        win = obs.get('cam_win')
+        if win is not None:
+            # windowed one-hot transpose: per-tile [W, k] partials on the
+            # MXU + a tiny static scatter (n_tiles*W rows, dup factor ~2)
+            oh = self._cam_onehot(win)
+            n_tiles, To = win['li'].shape
+            k = contrib.shape[1] if tail else 1
+            ct = contrib.reshape(contrib.shape[0], k)
+            pad = jnp.zeros((n_tiles * To - ct.shape[0], k), ct.dtype)
+            ct = jnp.concatenate([ct, pad], 0).reshape(n_tiles, To, k)
+            part = jnp.einsum('tol,tok->tlk', oh, ct, precision=_HI)
+            out = jnp.zeros((self.C + 1, k), contrib.dtype)
+            out = out.at[win['widx'].reshape(-1)].add(
+                part.reshape(-1, k), mode='drop')[:self.C]
+            return out.reshape((self.C,) + tail)
         if obs['cam_inc'] is None:
             out = jnp.zeros((self.C,) + tail, dtype=contrib.dtype)
             return out.at[obs['cam_idx']].add(contrib)
@@ -283,7 +377,7 @@ class BundleAdjustment:
         obs), but the scalarized form avoids both AD overhead and the
         (8,128)-padded [O,3,3] temps both carry.  Custom residuals keep
         the vmapped-jacrev fallback."""
-        Tc = poses_data[obs['cam_idx']]
+        Tc = self._bcast_cams(obs, poses_data)
         Xp = points[obs['pt_idx']]
 
         if self.residual is reproj_residual_bal:
@@ -311,7 +405,7 @@ class BundleAdjustment:
 
     def _chi2(self, poses_data, points, obs=None):
         obs = self._obs_data() if obs is None else obs
-        Tc = SE3(poses_data[obs['cam_idx']])
+        Tc = SE3(self._bcast_cams(obs, poses_data))
         Xp = points[obs['pt_idx']]
         r = jax.vmap(self.residual)(Tc, Xp, obs['cameras'], obs['pixels'])
         chi = jnp.sum(r * r, -1)
@@ -392,7 +486,7 @@ class BundleAdjustment:
                 # Hcc x (diag blocks + damping already inside Hcc_d)
                 hx = jnp.einsum('cab,cb->ca', Hcc_d, x, precision=_HI)
                 # Hpc x accumulated at points
-                Jcx = _mv_cols(Jc, x[ci])                                   # [O, 2]
+                Jcx = _mv_cols(Jc, self._bcast_cams(obs, x))                # [O, 2]
                 w = self._acc_points(obs, jnp.einsum(
                     'oda,od->oa', Jp, Jcx, precision=_HI))   # Hpc x
                 w = _mv_cols(Hpp_inv, w)                                    # Hpp^-1 Hpc x
@@ -465,7 +559,7 @@ class BundleAdjustment:
                     dc = dc + jsl.cho_solve(
                         cf, resid.reshape(-1)).reshape(C, 6)
                 dc = self._mask_cam(dc)
-                Jcdc = _mv_cols(Jc, dc[ci])
+                Jcdc = _mv_cols(Jc, self._bcast_cams(obs, dc))
                 Hpcdc = self._acc_points(obs, jnp.einsum(
                     'oda,od->oa', Jp, Jcdc, precision=_HI))
                 dp = _mv_cols(Hpp_inv, bp - Hpcdc)
@@ -482,14 +576,14 @@ class BundleAdjustment:
                 Svp, bs, tol=self.cg_tol, maxiter=self.cg_iter, M=M)
             dc = self._mask_cam(dc)
             # back-substitute points: dp = Hpp^-1 (bp - Hpc dc)
-            Jcdc = _mv_cols(Jc, dc[ci])
+            Jcdc = _mv_cols(Jc, self._bcast_cams(obs, dc))
             Hpcdc = self._acc_points(obs, jnp.einsum(
                 'oda,od->oa', Jp, Jcdc, precision=_HI))
             dp = _mv_cols(Hpp_inv, bp - Hpcdc)
             return dc, dp
 
         def pred_reduction(dc, dp):
-            Jd = _mv_cols(Jc, dc[ci]) + _mv_cols(Jp, dp[pi])
+            Jd = _mv_cols(Jc, self._bcast_cams(obs, dc)) + _mv_cols(Jp, dp[pi])
             return -jnp.sum(Jd * (2.0 * r + Jd))
 
         def cond(state):

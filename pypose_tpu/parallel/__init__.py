@@ -489,7 +489,16 @@ class ShardedBA(BundleAdjustment):
                 [jnp.ones(O, bool), jnp.zeros(pad, bool)])
         super().__init__(poses, points, cam_idx, pt_idx, pixels, cameras,
                          strategy=strategy, **kw)
+        # the base class cam-sorts the observations; keep the validity
+        # mask consistent with the permuted order
+        if valid is not None:
+            valid = jnp.asarray(np.asarray(valid)[self._obs_perm])
         self.obs_valid = valid
+        # the windowed one-hot cam ops assume single-device layouts
+        # (tile metadata is not sharded with the obs leading dim); the
+        # sharded path keeps the gather/incidence forms, which GSPMD
+        # already partitions correctly
+        self._cam_win = None
         # commit shardings: obs arrays over the mesh, states replicated
         self.cam_idx = shard_leading(self.cam_idx, self.mesh, axis)
         self.pt_idx = shard_leading(self.pt_idx, self.mesh, axis)

@@ -208,3 +208,49 @@ def test_ba_dense_schur_gate():
             pass
     finally:
         BundleAdjustment.DENSE_SCHUR_MAX_C = old
+
+
+def test_ba_windowed_cam_ops_match_gather():
+    """The cam-sorted windowed one-hot broadcast/accumulate (r5,
+    tools/ba_matvec_exp.py: 6.25 -> 3.47 ms/Schur-matvec at C=2048)
+    must agree with the gather/incidence forms they replace, and the
+    LM trajectory must be identical with windows disabled."""
+    ds = synthetic_bal(n_cams=48, n_points=2100, obs_per_point=5, seed=3,
+                       pose_noise=(0.1, 0.02), point_noise=0.1)
+    O = ds['pixels'].shape[0]
+    assert O >= BundleAdjustment.CAM_WINDOW_MIN_O  # windows active
+    ba = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                          ds['pt_idx'], ds['pixels'], ds['cameras'],
+                          fix_first_pose=True, cg_iter=30, schur='cg')
+    assert ba._cam_win is not None
+    # cam_idx is sorted after construction; obs semantics order-invariant
+    ci = np.asarray(ba.cam_idx)
+    assert np.all(np.diff(ci) >= 0)
+    obs = ba._obs_data()
+    obs_nowin = dict(obs, cam_win=None)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(ba.C, 6)).astype(np.float32))
+    np.testing.assert_allclose(ba._bcast_cams(obs, x),
+                               x[obs['cam_idx']], rtol=0, atol=0)
+    contrib = jnp.asarray(rng.normal(size=(O, 6)).astype(np.float32))
+    np.testing.assert_allclose(ba._acc_cams(obs, contrib),
+                               ba._acc_cams(obs_nowin, contrib),
+                               rtol=2e-5, atol=2e-5)
+    # multi-dim tail (the Hcc gram accumulation shape)
+    c2 = jnp.asarray(rng.normal(size=(O, 6, 6)).astype(np.float32))
+    np.testing.assert_allclose(ba._acc_cams(obs, c2),
+                               ba._acc_cams(obs_nowin, c2),
+                               rtol=2e-5, atol=2e-5)
+    # end-to-end: one jitted LM step, windowed vs gather
+    strat = ba.strategy.init(ba.points.dtype)
+    T = ds['poses'].tensor()
+    out_w = jax.jit(ba._core)(T, ba.points, strat, obs)
+    out_g = jax.jit(ba._core)(T, ba.points, strat, obs_nowin)
+    np.testing.assert_allclose(out_w[2], out_g[2], rtol=1e-4)
+
+
+def test_ba_windowed_small_problem_disabled():
+    ds = synthetic_bal(n_cams=8, n_points=100, obs_per_point=3, seed=0)
+    ba = BundleAdjustment(ds['poses'], ds['points'], ds['cam_idx'],
+                          ds['pt_idx'], ds['pixels'], ds['cameras'])
+    assert ba._cam_win is None  # O < CAM_WINDOW_MIN_O -> gather forms
