@@ -955,7 +955,14 @@ def _watchdog_main():
         else:
             t_err.join(timeout=10)
             t_out.join(timeout=10)
-            sys.exit(proc.returncode)
+            if proc.returncode == 0:
+                sys.exit(0)
+            # nonzero exit = the tunnel CRASHED the child (e.g. 'TPU
+            # worker process crashed or restarted', observed in bursts
+            # r5) rather than wedging it — retry exactly like a wedge;
+            # PPT_JSON_DONE/PPT_BENCH_T0 carry finished work across
+            log(f'[watchdog] child exited rc={proc.returncode} '
+                f'(attempt {attempt + 1}) — tunnel crash, restarting')
         time.sleep(3.0)
     log('[watchdog] giving up after 8 wedged attempts; running inline')
     main()

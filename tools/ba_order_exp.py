@@ -133,9 +133,11 @@ def main():
             print(f'  {name} damping={damping:.0e}: cg100 rel '
                   f'{float(rel):.3e}  (|b| {float(nb):.6e})', flush=True)
 
-    run_arm('A orig-order/gather ', obs_A)
-    run_arm('B sorted/gather     ', obs_B)
+    # C first: if the tunnel crashes mid-run we still learn whether the
+    # windowed arm matches before losing the process
     run_arm('C sorted/windowed   ', obs_C)
+    run_arm('B sorted/gather     ', obs_B)
+    run_arm('A orig-order/gather ', obs_A)
 
 
 if __name__ == '__main__':
